@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.corpus.CodeCorpus
-import graft.index.IndexBuilder
+import graft.index.{FtsIndexBuilder, IndexBuilder}
+import graft.query.{FtsIndex, FtsQuery}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +34,8 @@ object SparkEntry {
     "fts_bm25_lang" -> Queries.bm25Lang,
     "fts_regex_terms" -> Queries.regexTerms,
     "fts_fuzzy_terms" -> Queries.fuzzyTerms,
+    "fts_engine_single" -> Queries.engineSingle,
+    "fts_engine_and" -> Queries.engineAnd,
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
@@ -112,6 +115,43 @@ object Queries {
       IndexBuilder.postings(IndexBuilder.tokens(corpusDf(s, dir))))
       .where(levenshtein(col("term"), lit("mergs")) <= 1)
       .select("term")
+
+  // ---- segment-engine-backed queries (DuckDB-verified end to end) -------
+
+  /** Build (once per sfDir+JVM) a content-field-only on-disk index over the
+    * derived corpus, so engine BM25 scores are directly comparable to the
+    * pure-SQL oracle. identifiers are forced empty and content_raw off. */
+  private val engineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FtsIndex]()
+
+  private def engineIndex(s: SparkSession, dir: String): FtsIndex =
+    engineCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fts_verify").toString
+      val corpus = corpusDf(s, dir)
+        .withColumn("identifiers",
+          array().cast("array<string>"))
+      FtsIndexBuilder.build(s, corpus, root,
+        FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 8,
+          codeAnalyzers = false, indexRawField = false))
+      new FtsIndex(s, root).warm()
+    })
+
+  /** Engine result -> (doc_id from path, rounded score) for hash compare. */
+  private def engineTopK(s: SparkSession, dir: String,
+                         text: String): DataFrame = {
+    engineIndex(s, dir).search(FtsQuery(text, snippetLines = 0, limit = 10))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  val engineSingle: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineTopK(s, dir, "merge")
+
+  val engineAnd: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineTopK(s, dir, "merge sort")
 }
 
 /** DuckDB twins of every query in [[Queries]], built over the same
@@ -222,5 +262,9 @@ object OracleQueries {
       s"""$base
          |SELECT term FROM (SELECT term FROM postings GROUP BY 1)
          |WHERE levenshtein(term, 'mergs') <= 1""".stripMargin,
+
+    // the on-disk segment engine must reproduce the pure-SQL BM25 exactly
+    "fts_engine_single" -> bm25TopK("'merge'", 1, 10),
+    "fts_engine_and" -> bm25TopK("'merge', 'sort'", 2, 10),
   )
 }

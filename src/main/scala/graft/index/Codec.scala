@@ -1,0 +1,113 @@
+package graft.index
+
+import java.io.ByteArrayOutputStream
+
+/** Posting-list compression: delta-gap + variable-byte (varint) encoding,
+  * the layout the north rule requires ("delta-gap + variable-byte
+  * compressed segments"). Public-knowledge format (same family as Lucene /
+  * Tantivy posting blocks): docIds are sorted ascending, stored as varint
+  * gaps (first value absolute); term frequencies as plain varints.
+  *
+  * Pure JVM byte juggling — used inside `mapPartitions` segment writers and
+  * readers, never on the driver for bulk data.
+  */
+object Codec {
+
+  /** Unsigned LEB128 varint append. */
+  def writeVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    require(v >= 0, s"varint requires non-negative, got $value")
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Encode sorted docIds as delta gaps, varint packed. */
+  def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(sorted.length * 2)
+    var prev = 0L
+    var first = true
+    var i = 0
+    while (i < sorted.length) {
+      val v = sorted(i)
+      if (first) { writeVarLong(out, v); first = false }
+      else {
+        require(v > prev, s"docIds must be strictly ascending: $prev -> $v")
+        writeVarLong(out, v - prev)
+      }
+      prev = v
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode tf values (parallel to docIds) as plain varints. */
+  def encodeVarints(values: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(values.length * 2)
+    var i = 0
+    while (i < values.length) { writeVarLong(out, values(i)); i += 1 }
+    out.toByteArray
+  }
+
+  /** Decode `n` varints from bytes. */
+  def decodeVarints(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xFF
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Decode delta-gap encoded docIds back to absolute values. */
+  def decodeDeltas(bytes: Array[Byte], n: Int): Array[Long] = {
+    val gaps = decodeVarints(bytes, n)
+    var i = 1
+    while (i < n) { gaps(i) += gaps(i - 1); i += 1 }
+    gaps
+  }
+
+  /** Cursor-style varint reader for streams of concatenated lists (e.g.
+    * per-posting position lists packed back to back in one byte array). */
+  final class VarIntReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    def readVarLong(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xFF
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      v
+    }
+    /** Read one delta-encoded ascending list of length n. */
+    def readDeltaList(n: Int): Array[Int] = {
+      val out = new Array[Int](n)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc = if (i == 0) readVarLong() else acc + readVarLong()
+        out(i) = acc.toInt
+        i += 1
+      }
+      out
+    }
+  }
+}

@@ -1,0 +1,352 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Tokenizer
+import graft.functions.{Distance, PathGlob}
+import graft.index.{FtsIndexBuilder, IndexBuilder}
+import graft.index.FtsSchema._
+
+/** Query parameters, mirroring the reference surface
+  * (reference: query/QUERY_PARAMETERS.md:15-111 — FTS-specific params
+  * case_sensitive, fuzzy edit_distance 0-3, snippet_lines 0-50, regex,
+  * language/path include+exclude, limit with limit=0 "unlimited"). */
+final case class FtsQuery(
+    text: String,
+    caseSensitive: Boolean = false,
+    editDistance: Int = 0,
+    useRegex: Boolean = false,
+    snippetLines: Int = 5,
+    limit: Int = 10,
+    languages: Seq[String] = Nil,
+    excludeLanguages: Seq[String] = Nil,
+    pathFilters: Seq[String] = Nil,
+    excludePathFilters: Seq[String] = Nil)
+
+/** One search hit, the reference's result-row schema
+  * (tantivy_index_manager.py:754-763) plus repo/doc_id. */
+final case class SearchResult(doc_id: Long, repo: String, path: String,
+                              line: Int, column: Int, match_text: String,
+                              snippet: String, snippet_start_line: Int,
+                              language: String, score: Double)
+
+/** Searcher over an on-disk index built by [[FtsIndexBuilder]].
+  *
+  * Query model (reference semantics, SURVEY.md §2.4):
+  *   - query text splits on whitespace into words; ALL words must match
+  *     (Occur.Must AND — tantivy_index_manager.py:375-387)
+  *   - each exact word is parsed per field over [search_field, identifiers]
+  *     (OR across fields, scores summed); a word that tokenizes into
+  *     several tokens becomes a positional PHRASE query on that field
+  *     (tantivy parse_query behavior for e.g. "login_user")
+  *   - fuzzy words expand over the term dictionary with Damerau-Levenshtein
+  *     distance (transpositions = 1 edit), search field only
+  *   - regex mode: the whole query is one token-level pattern on the search
+  *     field only (full-match, linear-time engine in the reference)
+  *   - BM25 k1=1.2 b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)); phrase
+  *     idf = sum of constituent idfs, tf = phrase frequency
+  *   - filters compose AFTER scoring and BEFORE top-k in the reference's
+  *     precedence order (lang-excl, lang-incl, path-excl, path-incl); the
+  *     reference's 3x overfetch becomes unnecessary (no recall loss)
+  *   - limit=0 => cap 100000 and snippets forced off
+  *
+  * Plan shape at scale: the segment scan is pruned by (field, term)
+  * predicates (Parquet min/max on the sorted term column skips row groups);
+  * per-(field,term) df comes from a broadcast join against the dict; the
+  * per-doc evaluation is a hash shuffle of ONLY the matched postings; top-k
+  * is TakeOrderedAndProject. One Spark job end to end.
+  */
+class FtsIndex(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  val versionDir: String = FtsIndexBuilder.currentVersionDir(spark, root)
+  val docs: DataFrame = spark.read.parquet(s"$versionDir/docs")
+  val segments: Dataset[SegmentBlock] =
+    spark.read.parquet(s"$versionDir/segments/*").as[SegmentBlock]
+  val dict: DataFrame = spark.read.parquet(s"$versionDir/dict")
+  val manifest: DataFrame = spark.read.parquet(s"$versionDir/manifest/*")
+
+  private val statsRow = spark.read.parquet(s"$versionDir/stats").collect()(0)
+  val nDocs: Long = statsRow.getAs[Long]("n_docs")
+  private val avgdlByField: Map[String, Double] = Map(
+    FieldContent -> statsRow.getAs[Double]("avgdl_content"),
+    FieldRaw -> statsRow.getAs[Double]("avgdl_raw"),
+    FieldIdent -> statsRow.getAs[Double]("avgdl_ident"))
+
+  /** Cache the index relations across queries (the reference daemon's warm
+    * index cache analog, server/cache/fts_index_cache.py). */
+  def warm(): this.type = {
+    docs.persist(); segments.persist(); dict.persist()
+    docs.count(); segments.count(); dict.count()
+    this
+  }
+
+  import FtsIndex._
+
+  private def validate(q: FtsQuery): Unit = {
+    if (q.useRegex && q.editDistance > 0)
+      throw new IllegalArgumentException(
+        "Cannot combine regex matching with fuzzy matching (edit_distance > 0)")
+    if (q.editDistance < 0 || q.editDistance > 3)
+      throw new IllegalArgumentException(
+        s"edit_distance must be 0-3, got ${q.editDistance}")
+    if (q.snippetLines < 0 || q.snippetLines > 50)
+      throw new IllegalArgumentException(
+        s"snippet_lines must be 0-50, got ${q.snippetLines}")
+    if (q.limit < 0)
+      throw new IllegalArgumentException(s"limit must be >= 0, got ${q.limit}")
+    if (q.useRegex) {
+      try java.util.regex.Pattern.compile(q.text)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"Invalid regex pattern '${q.text}': ${e.getMessage}")
+      }
+    }
+  }
+
+  private def buildNodes(q: FtsQuery): Seq[Node] = {
+    val searchField = if (q.caseSensitive) FieldRaw else FieldContent
+    if (q.useRegex) {
+      Seq(Node(Seq(RegexQ(searchField, q.text))))
+    } else {
+      val words = q.text.split("\\s+").filter(_.nonEmpty).toSeq
+      words.map { w =>
+        if (q.editDistance > 0) {
+          // fuzzy_term_query uses the word as typed, search field only
+          // (tantivy_index_manager.py:347-374)
+          Node(Seq(FuzzyQ(searchField, w, q.editDistance)))
+        } else {
+          val alts = Seq(searchField, FieldIdent).flatMap { f =>
+            val toks =
+              if (f == FieldRaw) Tokenizer.tokenizeRaw(w)
+              else Tokenizer.tokenize(w)
+            toks match {
+              case Seq() => None
+              case Seq(t) => Some(TermQ(f, t))
+              case ts => Some(PhraseQ(f, ts))
+            }
+          }
+          Node(alts)
+        }
+      }
+    }
+  }
+
+  /** Predicate over (field, term) used to prune both the segment scan and
+    * the dict lookup. */
+  private def termPredicate(nodes: Seq[Node]): org.apache.spark.sql.Column = {
+    val exactByField = nodes.flatMap(_.alts).flatMap {
+      case TermQ(f, t) => Seq((f, t))
+      case PhraseQ(f, ts) => ts.map((f, _))
+      case _ => Nil
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val damerauLe = udf((t: String, w: String, d: Int) =>
+      Distance.damerauBounded(t, w, d) <= d)
+    val parts = exactByField.map { case (f, ts) =>
+      col("field") === f && col("term").isin(ts: _*)
+    }.toSeq ++ nodes.flatMap(_.alts).collect {
+      case FuzzyQ(f, w, d) =>
+        col("field") === f &&
+          abs(length(col("term")) - lit(w.length)) <= d &&
+          damerauLe(col("term"), lit(w), lit(d))
+      case RegexQ(f, p) =>
+        col("field") === f && col("term").rlike(s"^(?:$p)$$")
+    }
+    parts.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  // ---- scoring ----------------------------------------------------------
+
+  /** (doc_id, score) for all matching docs — unfiltered, unlimited. */
+  private def scoreDocs(nodes: Seq[Node]): Dataset[(Long, Double)] = {
+    if (nodes.isEmpty || nodes.exists(_.alts.isEmpty))
+      return spark.emptyDataset[(Long, Double)]
+    val pred = termPredicate(nodes)
+    val n = nDocs
+    val avgdl = avgdlByField
+    val nodesB = nodes
+
+    val decoded: Dataset[Posting] = segments.where(pred).flatMap { b =>
+      val docIds = graft.index.Codec.decodeDeltas(b.doc_bytes, b.n)
+      val tfs = graft.index.Codec.decodeVarints(b.tf_bytes, b.n)
+      val dls = graft.index.Codec.decodeVarints(b.dl_bytes, b.n)
+      val pr = new graft.index.Codec.VarIntReader(b.pos_bytes)
+      (0 until b.n).iterator.map { i =>
+        Posting(b.field, b.term, docIds(i), tfs(i), dls(i),
+          pr.readDeltaList(tfs(i).toInt))
+      }
+    }
+    val dictDs = dict.where(pred).as[DictRow]
+    val withDf = decoded
+      .joinWith(broadcast(dictDs),
+        decoded("field") === dictDs("field") &&
+          decoded("term") === dictDs("term"))
+      .map { case (p, d) => (p.doc_id, p.field, p.term, p.tf, p.dl,
+        p.positions, d.df) }
+
+    withDf.groupByKey(_._1)
+      .mapGroups((docId: Long,
+                  rows: Iterator[(Long, String, String, Long, Long, Array[Int], Long)]) =>
+        (docId, FtsIndex.scoreDoc(nodesB, n, avgdl, rows)))
+      .filter(r => !r._2.isNaN)
+  }
+
+  // ---- public API --------------------------------------------------------
+
+  /** Full search: score -> filters (reference precedence) -> top-k ->
+    * match/snippet extraction. Returns rows ordered by (score desc, doc_id).
+    */
+  def search(q: FtsQuery): Dataset[SearchResult] = {
+    validate(q)
+    val k = if (q.limit == 0) 100000 else q.limit
+    val snippetLines = if (q.limit == 0) 0 else q.snippetLines
+
+    val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
+    var hits = scored.join(docs.select($"doc_id", $"repo", $"path",
+      $"lang", $"content"), "doc_id")
+
+    // filter precedence (tantivy_index_manager.py:642-678):
+    // 1 lang-excl, 2 lang-incl, 3 path-excl, 4 path-incl.
+    // Reference quirk preserved: with NO exclusions the include list matches
+    // stored language values verbatim (facet path, :516-547); with
+    // exclusions present BOTH lists expand name->extensions via the
+    // LanguageMapper (:570-588).
+    if (q.excludeLanguages.nonEmpty) {
+      val excl = LanguageMap.extensions(q.excludeLanguages)
+      hits = hits.where(!$"lang".isin(excl.toSeq: _*))
+      if (q.languages.nonEmpty) {
+        val incl = LanguageMap.extensions(q.languages)
+        hits = hits.where($"lang".isin(incl.toSeq: _*))
+      }
+    } else if (q.languages.nonEmpty) {
+      hits = hits.where($"lang".isin(q.languages: _*))
+    }
+    if (q.excludePathFilters.nonEmpty) {
+      val m = PathGlob.anyMatcher(q.excludePathFilters)
+      val mu = udf((p: String) => m(p))
+      hits = hits.where(!mu($"path"))
+    }
+    if (q.pathFilters.nonEmpty) {
+      val m = PathGlob.anyMatcher(q.pathFilters)
+      val mu = udf((p: String) => m(p))
+      hits = hits.where(mu($"path"))
+    }
+
+    val top = hits.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .select($"doc_id", $"repo", $"path", $"lang", $"content", $"score")
+      .as[(Long, String, String, String, String, Double)]
+
+    val qText = q.text
+    val caseSens = q.caseSensitive
+    val editDist = q.editDistance
+    val useRegex = q.useRegex
+    top.map { case (docId, repo, path, lang, content, score) =>
+      val m =
+        if (useRegex) {
+          val flags = if (caseSens) 0 else java.util.regex.Pattern.CASE_INSENSITIVE
+          Snippets.findRegexMatch(content,
+            java.util.regex.Pattern.compile(qText, flags))
+        } else Snippets.findMatch(content, qText, caseSens, editDist)
+      m match {
+        case Some(mm) =>
+          val e = Snippets.extractSnippet(content, mm.start, snippetLines)
+          SearchResult(docId, repo, path, e.line, e.column, mm.text,
+            e.snippet, e.snippetStartLine, lang, score)
+        case None =>
+          SearchResult(docId, repo, path, 1, 1,
+            if (useRegex) qText else qText, "", 1, lang, score)
+      }
+    }
+  }
+
+  /** Collected, deterministically ordered results (score desc, doc_id asc). */
+  def searchCollected(q: FtsQuery): Seq[SearchResult] =
+    search(q).collect().toSeq.sortBy(r => (-r.score, r.doc_id))
+}
+
+/** Serializable query-node model + per-document scoring, kept outside the
+  * (session-holding, non-serializable) [[FtsIndex]] so executor closures
+  * capture only plain data. */
+object FtsIndex {
+
+  sealed trait FieldQ extends Serializable { def field: String }
+  final case class TermQ(field: String, term: String) extends FieldQ
+  final case class PhraseQ(field: String, terms: Seq[String]) extends FieldQ
+  final case class FuzzyQ(field: String, word: String, dist: Int) extends FieldQ
+  final case class RegexQ(field: String, pattern: String) extends FieldQ
+  /** One query word: OR over field alternatives; all nodes must match. */
+  final case class Node(alts: Seq[FieldQ]) extends Serializable
+
+  /** BM25-evaluate all nodes against one document's matched postings.
+    * Row shape: (doc_id, field, term, tf, dl, positions, df).
+    * Returns NaN when any node fails to match (AND semantics). */
+  private[query] def scoreDoc(
+      nodes: Seq[Node], n: Long, avgdl: Map[String, Double],
+      rows: Iterator[(Long, String, String, Long, Long, Array[Int], Long)])
+      : Double = {
+    val postings = rows.toArray
+    val byFieldTerm = postings.iterator.map(r => ((r._2, r._3), r)).toMap
+    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double =
+      idfV * tf * (graft.index.IndexBuilder.K1 + 1.0) /
+        (tf + graft.index.IndexBuilder.K1 * (1.0 - graft.index.IndexBuilder.B +
+          graft.index.IndexBuilder.B * dl / avgdl(field)))
+    var total = 0.0
+    var all = true
+    nodes.foreach { node =>
+      var matched = false
+      node.alts.foreach {
+        case TermQ(f, t) =>
+          byFieldTerm.get((f, t)).foreach { p =>
+            total += bm25(p._4.toDouble, p._5, f, idf(p._7)); matched = true
+          }
+        case PhraseQ(f, ts) =>
+          val ps = ts.map(t => byFieldTerm.get((f, t)))
+          if (ps.forall(_.isDefined)) {
+            val pf = phraseFreq(ps.map(_.get._6))
+            if (pf > 0) {
+              val idfSum = ps.map(p => idf(p.get._7)).sum
+              total += bm25(pf.toDouble, ps.head.get._5, f, idfSum)
+              matched = true
+            }
+          }
+        case FuzzyQ(f, w, d) =>
+          postings.foreach { p =>
+            if (p._2 == f && graft.functions.Distance.damerauBounded(p._3, w, d) <= d) {
+              total += bm25(p._4.toDouble, p._5, f, idf(p._7)); matched = true
+            }
+          }
+        case RegexQ(f, pat) =>
+          val re = java.util.regex.Pattern.compile(s"^(?:$pat)$$")
+          postings.foreach { p =>
+            if (p._2 == f && re.matcher(p._3).matches()) {
+              total += bm25(p._4.toDouble, p._5, f, idf(p._7)); matched = true
+            }
+          }
+      }
+      if (!matched) all = false
+    }
+    if (all) total else Double.NaN
+  }
+
+  /** Count of phrase alignments: positions where the terms appear at
+    * consecutive offsets (tf of the phrase). */
+  private def phraseFreq(lists: Seq[Array[Int]]): Int = {
+    val first = lists.head
+    var count = 0
+    var i = 0
+    while (i < first.length) {
+      val start = first(i)
+      var k = 1
+      var ok = true
+      while (ok && k < lists.length) {
+        if (java.util.Arrays.binarySearch(lists(k), start + k) < 0) ok = false
+        k += 1
+      }
+      if (ok) count += 1
+      i += 1
+    }
+    count
+  }
+}
