@@ -1,0 +1,148 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Tokenizer
+import graft.index.FtsSchema._
+
+/** Incremental index maintenance: watch-mode upsert / delete re-expressed
+  * as tombstones + delta segments (reference: fts_watch_handler.py:40-128
+  * `update_document` = delete-by-path + add + commit,
+  * tantivy_index_manager.py:955-1035).
+  *
+  * Model: each delta batch k writes under `v<N>/deltas/d<k>/`:
+  *   - docs/       new document rows at generation k (fresh doc_ids in the
+  *     (1000+k) << 40 namespace, disjoint from base shards)
+  *   - segments/   posting blocks for exactly those docs
+  *   - dict/       df/cf contribution of the delta
+  *   - tombstones/ (repo, path, gen=k) rows — any older generation of the
+  *     path is dead (upsert writes docs + tombstone; delete writes
+  *     tombstone only)
+  *
+  * Query-time resolution keeps, per (repo, path), only docs with
+  * gen >= max tombstone gen (see [[graft.query.FtsIndex]]). Like the
+  * reference (and Tantivy before a merge), dead docs still contribute to
+  * df/avgdl until [[compact]] rewrites a fresh version — the documented
+  * eventual-consistency contract (tantivy_index_manager.py:25-33).
+  * `compact` restores bit-identical-to-rebuild state.
+  */
+object FtsDeltas {
+
+  /** Generation offset so delta doc_ids can never collide with base shard
+    * ids (builders use shard < 1000). */
+  private val GenBase = 1000L
+
+  private def currentDir(spark: SparkSession, root: String): String =
+    FtsIndexBuilder.currentVersionDir(spark, root)
+
+  private def nextGen(spark: SparkSession, vDir: String): Int = {
+    val hfs = FtsIndexBuilder.fs(spark, vDir)
+    val d = new Path(s"$vDir/deltas")
+    if (!hfs.exists(d)) 1
+    else hfs.listStatus(d).map(_.getPath.getName)
+      .filter(_.matches("d\\d+")).map(_.drop(1).toInt)
+      .reduceOption(_ max _).getOrElse(0) + 1
+  }
+
+  /** Upsert a batch of (repo, path, commit, lang, content[, identifiers])
+    * rows: tombstone each key, add the new docs at a fresh generation. */
+  def upsert(spark: SparkSession, batch: DataFrame, root: String,
+             cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
+    val vDir = currentDir(spark, root)
+    val gen = nextGen(spark, vDir)
+    val dDir = s"$vDir/deltas/d$gen"
+
+    val withIds =
+      if (batch.columns.contains("identifiers")) batch
+      else batch.withColumn("identifiers", lit(null).cast("array<string>"))
+    val extractIds = udf((content: String) => Tokenizer.identifiers(content))
+    val identLen = udf((ids: Seq[String]) =>
+      Tokenizer.identifierFieldTokens(ids, cfg.codeAnalyzers).size.toLong)
+    val w = Window.partitionBy(lit(1)).orderBy("repo", "path")
+    val docs = withIds
+      .withColumn("shard", lit((GenBase + gen).toInt))
+      .withColumn("doc_id",
+        lit((GenBase + gen) << 40) + (row_number().over(w) - 1))
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("ids", coalesce(col("identifiers"), extractIds(col("content"))))
+      .withColumn("dl", size(IndexBuilder.tokenArray(col("content"))).cast("long"))
+      .withColumn("dl_ident", identLen(col("ids")))
+      .withColumn("gen", lit(gen))
+      .select("doc_id", "shard", "repo", "path", "commit", "lang",
+        "sha256", "dl", "dl_ident", "ids", "content", "gen")
+    docs.write.mode("overwrite").parquet(s"$dDir/docs")
+
+    val written = spark.read.parquet(s"$dDir/docs")
+    writeDeltaSegments(spark, written, dDir, gen, cfg)
+
+    written.select(col("repo"), col("path"), lit(gen).as("gen"))
+      .write.mode("overwrite").parquet(s"$dDir/tombstones")
+    gen
+  }
+
+  /** Delete by key: tombstones only (reference on_deleted,
+    * fts_watch_handler.py:81-99). `keys` columns: (repo, path). */
+  def delete(spark: SparkSession, keys: DataFrame, root: String): Int = {
+    val vDir = currentDir(spark, root)
+    val gen = nextGen(spark, vDir)
+    val dDir = s"$vDir/deltas/d$gen"
+    keys.select(col("repo"), col("path"), lit(gen).as("gen"))
+      .write.mode("overwrite").parquet(s"$dDir/tombstones")
+    gen
+  }
+
+  private def writeDeltaSegments(spark: SparkSession, docs: DataFrame,
+                                 dDir: String, gen: Int,
+                                 cfg: FtsIndexBuilder.Config): Unit = {
+    import spark.implicits._
+    val indexRaw = cfg.indexRawField
+    val codeAn = cfg.codeAnalyzers
+    val toks = docs
+      .select($"doc_id", $"content", $"ids", $"dl", $"dl_ident")
+      .as[(Long, String, Seq[String], Long, Long)]
+      .flatMap { case (id, content, ids, dl, dlIdent) =>
+        val c = Tokenizer.tokenize(content).iterator.zipWithIndex
+          .map { case (t, p) => (FieldContent, t, id, dl, p) }
+        val r = if (indexRaw)
+          Tokenizer.tokenizeRaw(content).iterator.zipWithIndex
+            .map { case (t, p) => (FieldRaw, t, id, dl, p) }
+        else Iterator.empty
+        val i = Tokenizer.identifierFieldTokens(ids, codeAn).iterator
+          .map { case (t, p) => (FieldIdent, t, id, dlIdent, p) }
+        c ++ r ++ i
+      }.toDF("field", "term", "doc_id", "dl", "pos")
+    val postings = toks
+      .groupBy("field", "term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos")).as("positions"))
+    val shardId = (GenBase + gen).toInt
+    val blockSize = cfg.blockSize
+    postings
+      .repartitionByRange(math.max(cfg.segmentPartitions / 4, 1),
+        $"field", $"term", $"doc_id")
+      .sortWithinPartitions("field", "term", "doc_id")
+      .select($"field", $"term", $"doc_id", $"dl", $"tf", $"positions")
+      .as[(String, String, Long, Long, Long, Seq[Int])]
+      .mapPartitions(it => FtsIndexBuilder.encodePartition(it, shardId, blockSize))
+      .write.mode("overwrite").parquet(s"$dDir/segments")
+    postings.groupBy("field", "term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .write.mode("overwrite").parquet(s"$dDir/dict")
+  }
+
+  /** Rewrite a fresh version from the surviving documents — after this the
+    * index is bit-identical to a from-scratch rebuild of the same logical
+    * content (the MVCC segment-merge analog; reference atomic rebuild,
+    * storage/background_index_rebuilder.py). */
+  def compact(spark: SparkSession, root: String,
+              cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Unit = {
+    val idx = new graft.query.FtsIndex(spark, root)
+    val live = idx.effectiveDocs
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content"), col("ids").as("identifiers"))
+    FtsIndexBuilder.build(spark, live, root, cfg)
+  }
+}

@@ -49,7 +49,7 @@ object FtsIndexBuilder {
   final case class BuildReport(version: String, nDocs: Long,
                                shardsBuilt: Seq[Int], shardsSkipped: Seq[Int])
 
-  private[index] def fs(spark: SparkSession, root: String): FileSystem =
+  private[graft] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Full (or resumed) index build from an ingest table with columns

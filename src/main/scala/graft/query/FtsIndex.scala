@@ -61,10 +61,66 @@ class FtsIndex(spark: SparkSession, root: String) {
   import spark.implicits._
 
   val versionDir: String = FtsIndexBuilder.currentVersionDir(spark, root)
-  val docs: DataFrame = spark.read.parquet(s"$versionDir/docs")
-  val segments: Dataset[SegmentBlock] =
-    spark.read.parquet(s"$versionDir/segments/*").as[SegmentBlock]
-  val dict: DataFrame = spark.read.parquet(s"$versionDir/dict")
+
+  /** Delta batch dirs (incremental upserts/deletes) — see
+    * [[graft.index.FtsDeltas]]. */
+  private val deltaDirs: Seq[String] = {
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(s"$versionDir/deltas")
+    if (!hfs.exists(d)) Nil
+    else hfs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.matches("d\\d+"))
+      .sortBy(_.getName.drop(1).toInt).map(_.toString)
+  }
+  private def deltaSub(sub: String): Seq[String] = {
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    deltaDirs.map(p => s"$p/$sub")
+      .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /** Base docs at generation 0, plus delta docs at their own generations. */
+  val docs: DataFrame = {
+    val base = spark.read.parquet(s"$versionDir/docs")
+      .withColumn("gen", lit(0))
+    deltaSub("docs").foldLeft(base) { (acc, p) =>
+      acc.unionByName(spark.read.parquet(p).drop("shard")
+        .withColumn("shard", lit(-1)).select(acc.columns.map(col): _*))
+    }
+  }
+
+  val segments: Dataset[SegmentBlock] = {
+    val paths = s"$versionDir/segments/*" +: deltaSub("segments")
+    spark.read.parquet(paths: _*).as[SegmentBlock]
+  }
+
+  /** Global dictionary: base + delta contributions summed. Dead docs keep
+    * contributing until compaction (reference eventual-consistency
+    * contract, tantivy_index_manager.py:25-33). */
+  val dict: DataFrame = {
+    val paths = s"$versionDir/dict" +: deltaSub("dict")
+    if (paths.length == 1) spark.read.parquet(paths.head)
+    else spark.read.parquet(paths: _*)
+      .groupBy("field", "term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+  }
+
+  /** (repo, path, gen) delete markers across all deltas. */
+  val tombstones: Option[DataFrame] = {
+    val paths = deltaSub("tombstones")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Documents still alive: per (repo, path) only generations at or above
+    * the newest tombstone survive. */
+  val effectiveDocs: DataFrame = tombstones match {
+    case None => docs
+    case Some(t) =>
+      val tmax = t.groupBy("repo", "path").agg(max("gen").as("tgen"))
+      docs.join(tmax, Seq("repo", "path"), "left")
+        .where(col("gen") >= coalesce(col("tgen"), lit(0)))
+        .drop("tgen")
+  }
+
   val manifest: DataFrame = spark.read.parquet(s"$versionDir/manifest/*")
 
   private val statsRow = spark.read.parquet(s"$versionDir/stats").collect()(0)
@@ -203,7 +259,7 @@ class FtsIndex(spark: SparkSession, root: String) {
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
 
     val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
-    var hits = scored.join(docs.select($"doc_id", $"repo", $"path",
+    var hits = scored.join(effectiveDocs.select($"doc_id", $"repo", $"path",
       $"lang", $"content"), "doc_id")
 
     // filter precedence (tantivy_index_manager.py:642-678):
