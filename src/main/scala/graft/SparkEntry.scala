@@ -36,6 +36,7 @@ object SparkEntry {
     "fts_fuzzy_terms" -> Queries.fuzzyTerms,
     "fts_engine_single" -> Queries.engineSingle,
     "fts_engine_and" -> Queries.engineAnd,
+    "fts_engine_wand" -> Queries.engineWand,
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
@@ -152,6 +153,18 @@ object Queries {
 
   val engineAnd: (SparkSession, String) => DataFrame = (s, dir) =>
     engineTopK(s, dir, "merge sort")
+
+  /** Same query through the block-max WAND scorer — the pruned path must
+    * be DuckDB-identical to the exhaustive SQL. */
+  val engineWand: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    engineIndex(s, dir).searchWand("merge sort", 10)
+      .map(r => (r.path, r.score)).toDF("path", "score")
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
 }
 
 /** DuckDB twins of every query in [[Queries]], built over the same
@@ -266,5 +279,6 @@ object OracleQueries {
     // the on-disk segment engine must reproduce the pure-SQL BM25 exactly
     "fts_engine_single" -> bm25TopK("'merge'", 1, 10),
     "fts_engine_and" -> bm25TopK("'merge', 'sort'", 2, 10),
+    "fts_engine_wand" -> bm25TopK("'merge', 'sort'", 2, 10),
   )
 }

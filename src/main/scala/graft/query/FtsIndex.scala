@@ -319,6 +319,70 @@ class FtsIndex(spark: SparkSession, root: String) {
   /** Collected, deterministically ordered results (score desc, doc_id asc). */
   def searchCollected(q: FtsQuery): Seq[SearchResult] =
     search(q).collect().toSeq.sortBy(r => (-r.score, r.doc_id))
+
+  // ---- block-max WAND top-k (exact multi-term AND, unfiltered) ----------
+
+  /** Top-k via the block-max WAND scorer ([[Wand]]): per-shard pruned
+    * scoring in parallel (`flatMapGroups` over the shard key — shards have
+    * disjoint doc spaces), then a driver-side merge of the tiny per-shard
+    * top-k lists. Falls back to [[search]] for phrase/fuzzy/regex nodes or
+    * when filters are present (a θ-threshold over the unfiltered stream
+    * would not be the filtered top-k). Returns the same docs and scores as
+    * the exhaustive scorer — asserted by the differential spec. */
+  def searchWand(text: String, k: Int = 10,
+                 caseSensitive: Boolean = false): Seq[SearchResult] = {
+    val q = FtsQuery(text, caseSensitive = caseSensitive, limit = k)
+    val nodes = buildNodes(q)
+    val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
+      nodes.forall(_.alts.forall(_.isInstanceOf[TermQ]))
+    if (!simple) return searchCollected(q)
+
+    val pred = termPredicate(nodes)
+    val idfs: Map[(String, String), Double] = dict.where(pred)
+      .select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        math.log(1.0 + (nDocs - r.getLong(2) + 0.5) / (r.getLong(2) + 0.5)))
+      .toMap
+    val groupSpec: Seq[Seq[(String, String)]] =
+      nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
+    val avgdl = avgdlByField
+
+    val perShard = segments.where(pred)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_: Int, it: Iterator[SegmentBlock]) =>
+        val byFt = it.toArray.groupBy(b => (b.field, b.term))
+          .view.mapValues(_.sortBy(_.first_doc)).toMap
+        val groups = groupSpec.map(_.flatMap { ft =>
+          byFt.get(ft).map(bl => (bl, idfs.getOrElse(ft, 0.0), avgdl(ft._1)))
+        })
+        if (groups.exists(_.isEmpty)) Iterator.empty
+        else Wand.topKShard(groups, k)._1.iterator
+      }.collect()
+
+    val top = perShard.sortBy(s => (-s.score, s.doc)).take(k)
+    if (top.isEmpty) return Nil
+    val scores = top.map(s => s.doc -> s.score).toMap
+    val ids = top.map(_.doc)
+    val meta = effectiveDocs
+      .where($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"repo", $"path", $"lang", $"content").collect()
+    meta.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      scores.get(id).map { sc =>
+        val content = r.getString(4)
+        val m = Snippets.findMatch(content, text, caseSensitive, 0)
+        m match {
+          case Some(mm) =>
+            val e = Snippets.extractSnippet(content, mm.start, q.snippetLines)
+            SearchResult(id, r.getString(1), r.getString(2), e.line, e.column,
+              mm.text, e.snippet, e.snippetStartLine, r.getString(3), sc)
+          case None =>
+            SearchResult(id, r.getString(1), r.getString(2), 1, 1, text, "",
+              1, r.getString(3), sc)
+        }
+      }
+    }.sortBy(r => (-r.score, r.doc_id))
+  }
 }
 
 /** Serializable query-node model + per-document scoring, kept outside the
