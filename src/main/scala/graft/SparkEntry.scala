@@ -37,9 +37,10 @@ object SparkEntry {
     "fts_engine_single" -> Queries.engineSingle,
     "fts_engine_and" -> Queries.engineAnd,
     "fts_engine_wand" -> Queries.engineWand,
-  )
+  ) ++ graft.ops.OpsQueries.all
 
-  def oracleSql: Map[String, String] = OracleQueries.all
+  def oracleSql: Map[String, String] =
+    OracleQueries.all ++ graft.ops.OpsOracle.all
 }
 
 /** The Spark side of each verified query. Each function takes the

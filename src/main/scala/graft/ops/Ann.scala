@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding float[], label)`).
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k, the correctness baseline —
+  *     a broadcast of the (small) query set against the full vector table,
+  *     dot products as codegen'd `aggregate`/`zip_with` column math, top-k
+  *     per query via a window rank. At cluster scale the vector table stays
+  *     partitioned; only the query set and the per-partition top-k rows
+  *     move.
+  *   - [[rhBuckets]] / [[lshTopK]]: random-hyperplane (SimHash-for-vectors)
+  *     LSH — sign patterns of NumPlanes md5-seeded hyperplanes form the
+  *     bucket key; search only scans bucket-mates. The scale path: bucket
+  *     count grows 2^planes, the equi-join on bucket replaces the cross
+  *     product.
+  *   - [[ivfTopK]]: IVF-style probe — deterministic centroid sample (first
+  *     nCells vec_ids), assign every vector to its nearest centroid,
+  *     probe the query's nProbe nearest cells only.
+  *
+  * Hyperplane components are +-1 derived from the portable md5 hash so the
+  * DuckDB oracle reproduces bucketing exactly.
+  */
+object Ann {
+  import PortableHash._
+
+  final val NumPlanes = 8
+  final val Dim = 64
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    val da = d(a); val db = d(b)
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(zip_with(da, da, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(zip_with(db, db, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for queries (vec_id < nQueries), self excluded.
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = broadcast(queries).crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** +-1 hyperplane component for (plane, dim), md5-portable. */
+  private def sign(plane: Int, d: Int): Column =
+    when(pmod(hash64(lit(s"p${plane}_d$d")), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Precomputed sign matrix as a literal 2-D array column (planes x dim) —
+    * constant-folded by Catalyst, zero per-row hashing. */
+  private[graft] def signMatrix: Array[Array[Double]] = {
+    // must match sign(): md5-derived parity
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"p${p}_d$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }.toArray
+    }.toArray
+  }
+
+  /** Random-hyperplane bucket id (0..2^NumPlanes-1) per vector. */
+  def rhBuckets(emb: DataFrame): DataFrame = {
+    val m = signMatrix
+    val bucketBits = (0 until NumPlanes).map { p =>
+      val planeLit = array(m(p).map(lit): _*)
+      val proj = aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          planeLit, (x, s) => x * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    emb.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** LSH top-k: exact cosine among same-bucket candidates only.
+    * Output: (query_id, rank, neighbor_id, sim) — rank within bucket. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bucketed = rhBuckets(emb)
+    val queries = bucketed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val cands = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), col("bucket"))
+    val scored = broadcast(queries).join(cands, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF probe: deterministic centroids (vec_id < nCells), assign all
+    * vectors to the nearest centroid, probe the query's nProbe cells. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = emb.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(desc("csim"), asc("cell"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("r", row_number().over(assignW))
+      .where(col("r") === 1).drop("r", "csim")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), asc("cell"))
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine(col("qe"), col("ce")).as("csim"))
+      .withColumn("r", row_number().over(probeW))
+      .where(col("r") <= nProbe).drop("r", "csim")
+    val scored = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("sim"))
+      .distinct() // a neighbor may appear via multiple probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}

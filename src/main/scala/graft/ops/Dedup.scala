@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable (Spark == DuckDB) 60-bit hash used by all dedup/ANN ops:
+  * first 15 hex chars of md5, parsed as a long. Deterministic, seedable by
+  * string suffix, and reproducible in the DuckDB oracle
+  * (`CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)`). */
+object PortableHash {
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash64Sql(expr: String): String =
+    s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
+}
+
+/** Large-scale deduplication operators over a `documents(doc_id, text)`
+  * table — the training-data-pipeline layer (exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash). Every SQL-expressible stage has a DuckDB twin in
+  * [[graft.OracleQueries]]; SimHash64 (bit-twiddling) is engine-only with
+  * ScalaTest coverage.
+  *
+  * Scale notes: exact dedup is one hash-aggregate; MinHash signatures are
+  * explode -> two-level aggregate (Catalyst inserts map-side partials);
+  * LSH banding turns the quadratic candidate problem into an equi-join on
+  * (band, key) — the only shuffle whose size depends on duplicate density,
+  * not corpus size squared.
+  */
+object Dedup {
+  import PortableHash._
+
+  final val NumSeeds = 8
+  final val BandRows = 2 // 4 bands x 2 rows
+
+  /** Tokens with the same normalization as the FTS engine. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"),
+      t => t =!= lit("") && length(t) <= 40)
+
+  /** Word 3-gram shingles, distinct per doc. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))).as("shingle"))
+      .distinct()
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * Output: (doc_id, keeper, is_dup). */
+  def exact(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = h.groupBy("h").agg(min("doc_id").as("keeper"))
+    h.join(keepers, "h")
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+  }
+
+  /** MinHash signatures: (doc_id, seed, minhash), seeds 0..NumSeeds-1. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .crossJoin(spark_seeds)
+      .select(col("doc_id"), col("seed"),
+        hash64(concat(col("shingle"), lit("#"),
+          col("seed").cast("string"))).as("h"))
+      .groupBy("doc_id", "seed").agg(min("h").as("minhash"))
+
+  private def spark_seeds: DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.range(NumSeeds).select(col("id").cast("int").as("seed"))
+  }
+
+  /** LSH banding: docs sharing any (band, band-key) become candidate
+    * pairs. Output: (a, b) with a < b, distinct. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .withColumn("band", floor(col("seed") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("_", sort_array(collect_list(
+        concat_ws(":", col("seed"), col("minhash")))))).as("bkey"))
+    val l = sig.select(col("band"), col("bkey"), col("doc_id").as("a"))
+    val r = sig.select(col("band").as("band2"), col("bkey").as("bkey2"),
+      col("doc_id").as("b"))
+    l.join(r, l("band") === r("band2") && l("bkey") === r("bkey2") &&
+        l("a") < r("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs.
+    * Output: (a, b, jaccard rounded to 4). */
+  def jaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val shA = sh.toDF("a", "shingle")
+    val shB = sh.toDF("b", "shingle")
+    val commons = pairs.join(shA, "a").join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(commons, Seq("a", "b"), "left")
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"),
+        round(coalesce(col("common"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))), 4)
+          .as("jaccard"))
+  }
+
+  // ---- SimHash64 (engine-only, bit ops; ScalaTest-covered) --------------
+
+  /** 64-bit SimHash of a token multiset (Charikar): per token, md5-derived
+    * 64 bits vote +-tf on each position; sign -> bit. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Long](64)
+    tokens.groupBy(identity).foreach { case (t, occs) =>
+      val tf = occs.size.toLong
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val bits = java.nio.ByteBuffer.wrap(d).getLong(0)
+      var i = 0
+      while (i < 64) {
+        if (((bits >>> i) & 1L) == 1L) votes(i) += tf else votes(i) -= tf
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: hamming(simhash) <= maxDist, candidates
+    * bucketed by 16-bit quarters (a pair within distance 3 must agree on
+    * at least one quarter — pigeonhole). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    val sim = udf((text: String) =>
+      simhash64(graft.analysis.Tokenizer.tokenize(text)))
+    val withSim = docs.select(col("doc_id"), sim(col("text")).as("sh"))
+    val quarters = withSim.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(qi =>
+        struct(lit(qi).as("q"),
+          shiftrightunsigned(col("sh"), qi * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)).as("quarter"))
+      .select(col("doc_id"), col("sh"),
+        col("quarter.q"), col("quarter.qv"))
+    val l = quarters.toDF("a", "sha", "q", "qv")
+    val r = quarters.toDF("b", "shb", "q", "qv")
+    val ham = udf((x: Long, y: Long) => hamming(x, y))
+    l.join(r, Seq("q", "qv")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), ham(col("sha"), col("shb")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine similarity
+    * is >= threshold (candidates via the ANN LSH buckets). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val bucketed = Ann.rhBuckets(emb)
+    val l = bucketed.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = bucketed.select(col("bucket").as("bucket2"),
+      col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, l("bucket") === r("bucket2") && l("a") < r("b"))
+      .select(col("a"), col("b"),
+        round(Ann.cosine(col("ea"), col("eb")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract wiring for the training-data-pipeline operators:
+  * Spark query per op + DuckDB oracle twin (same tables, same hashes). */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dd_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
+    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d))),
+    "dd_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.jaccard(dd, Dedup.lshCandidatePairs(dd))
+    }),
+    "dd_simhash_neardups" -> ((s, d) =>
+      // engine-only (bit-level simhash not SQL-expressible): rows-only check
+      Dedup.simhashNearDups(docs(s, d), maxDist = 18)
+        .orderBy("a", "b").limit(1000)),
+    "ta_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
+    "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 5)),
+    "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(emb(s, d), 5, 5)),
+    "ann_ivf_topk" -> ((s, d) =>
+      // engine-only scale path; correctness vs brute force in ScalaTest
+      Ann.ivfTopK(emb(s, d), 5, 5)),
+    "mm_features" -> ((s, d) => {
+      // multimodal plumbing smoke (stubbed decode kernels; rows-only check)
+      val st = s
+      import st.implicits._
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d, 32))
+        .map(f => (f.media_id, f.kind, f.dim,
+          math.round(f.features.sum * 10000.0) / 10000.0))
+        .toDF("media_id", "kind", "dim", "feature_sum")
+    }),
+  )
+}
+
+object OpsOracle {
+
+  private val tokensSql =
+    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      |            x -> x <> '' AND length(x) <= 40)""".stripMargin
+
+  private val shinglesCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+       |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |)""".stripMargin
+
+  private def h64(expr: String): String = PortableHash.hash64Sql(expr)
+
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+       |         min(${h64("shingle || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumSeeds})) AS seed)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private val bandCte =
+    s"""band AS (
+       |  SELECT doc_id, CAST(floor(seed / ${Dedup.BandRows}) AS INTEGER) AS band,
+       |         md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '_'
+       |             ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |)""".stripMargin
+
+  private val pairsCte =
+    """pairs AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM band l JOIN band r
+      |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+      |)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_dot_product($a, $b) /
+       | (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))""".stripMargin
+
+  /** Literal DuckDB list for one hyperplane's +-1 components. */
+  private def planeList(p: Int): String =
+    Ann.signMatrix(p).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  private val bucketExpr: String =
+    (0 until Ann.NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(de, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val all: Map[String, String] = Map(
+    "dd_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY 1)
+        |SELECT doc_id, keeper, doc_id <> keeper AS is_dup
+        |FROM h JOIN k USING (h)""".stripMargin,
+
+    "dd_minhash" ->
+      s"WITH $shinglesCte, $sigCte\nSELECT doc_id, seed, minhash FROM sig",
+
+    "dd_lsh_pairs" ->
+      s"WITH $shinglesCte, $sigCte, $bandCte, $pairsCte\nSELECT a, b FROM pairs",
+
+    "dd_jaccard" ->
+      s"""WITH $shinglesCte, $sigCte, $bandCte, $pairsCte,
+         |common AS (
+         |  SELECT p.a, p.b, count(*) AS common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a
+         |  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT p.a, p.b,
+         |  round(coalesce(c.common, 0) /
+         |        (na.n + nb.n - coalesce(c.common, 0)), 4) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+         |JOIN sizes na ON na.doc_id = p.a
+         |JOIN sizes nb ON nb.doc_id = p.b""".stripMargin,
+
+    "ta_quality" ->
+      s"""SELECT doc_id, n_chars, n_words,
+         |  round(nosp / greatest(n_words, 1), 4) AS avg_word_len,
+         |  round(stops / greatest(n_words, 1), 4) AS stopword_ratio,
+         |  round(alpha / greatest(n_chars, 1), 4) AS alpha_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nosp,
+         |    CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''),
+         |        w -> list_contains(${TextAnalysis.EnStop.map(s => s"'$s'").mkString("[", ", ", "]")}, w))) AS BIGINT) AS stops,
+         |    length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) AS alpha
+         |  FROM documents
+         |)""".stripMargin,
+
+    "ta_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "ta_langid" -> {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($list, t))) AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN s_$l = m THEN '$l'")
+        .mkString("CASE WHEN m = 0 THEN 'und' ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, $caseExpr AS pred_lang,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM (
+         |  SELECT *, $m AS m FROM (
+         |    SELECT doc_id,
+         |    $scoreExprs
+         |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |  )
+         |)""".stripMargin
+    },
+
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) >= 8 THEN
+         |    list_min(list_transform(range(1, length(text) - 6),
+         |      i -> ${h64("substr(lower(text), CAST(i AS INTEGER), 8)")}))
+         |  ELSE NULL END AS fingerprint,
+         |  greatest(length(text) - 7, 0) AS n_windows
+         |FROM documents""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")}, 4) AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored
+         |) WHERE rank <= 5""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, de, ($bucketExpr) AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+         |),
+         |q AS (SELECT vec_id AS query_id, de AS qe, bucket FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    round(${cosSql("q.qe", "c.de")}, 4) AS sim
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored
+         |) WHERE rank <= 5""".stripMargin,
+  )
+}
