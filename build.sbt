@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// optional GC experiment knob (e.g. GRAFT_GC=Parallel)
+javaOptions ++= sys.env.get("GRAFT_GC")
+  .map(g => Seq(s"-XX:+Use${g}GC")).getOrElse(Seq.empty)
+// pin the JVM's perceived core count (fair N-core executor simulation)
+javaOptions ++= sys.env.get("GRAFT_PROC_COUNT")
+  .map(n => Seq(s"-XX:ActiveProcessorCount=$n")).getOrElse(Seq.empty)

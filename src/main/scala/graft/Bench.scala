@@ -1,24 +1,210 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CodeCorpus
+import graft.index.FtsIndexBuilder
+import graft.query.{FtsIndex, FtsQuery}
+
+/** Headline benchmark (driver-run per round -> BENCH_r{N}.json):
+  *
+  *   - index-build throughput (files/s) over the derived source-code
+  *     corpus, at TWO parallelism levels — local[N] and local[4N] — the
+  *     sandbox stand-in for N vs 4N executors (north rule: scaling
+  *     efficiency >= 0.8 between them)
+  *   - warm BM25 top-10 latency p50 across a fixed query set, for both the
+  *     exhaustive scorer and the block-max WAND path
+  *
+  * Prints ONE JSON line; extra keys beyond the driver contract carry the
+  * scaling evidence (files_per_sec_nX, scaling_efficiency, p50s).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def timeS[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Fork one worker JVM pinned to a cpu set (taskset + ActiveProcessorCount)
+    * running [[BenchBuild]]; returns its full stdout. */
+  private def forkWorker(cpus: Seq[Int], cores: Int,
+                         args: Seq[String]): Process = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("taskset", "-c", cpus.mkString(",")) ++
+      Seq(javaBin) ++ inherited ++ Seq(
+        s"-XX:ActiveProcessorCount=${cpus.size}", "-Xmx8g",
+        s"-Djava.io.tmpdir=$scratch", s"-Dspark.local.dir=$scratch",
+        "-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchBuild") ++ args
+    new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+  }
+
+  /** Scratch space for forked builds: tmpfs when available (isolates the
+    * measurement from ext4 journal contention; a real cluster writes to
+    * per-node disks). */
+  private lazy val scratch: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, "graft_bench")
+    else java.nio.file.Files.createTempDirectory("graft_bench")
+    base.toString
+  }
+
+  /** One pinned full-build measurement in a fresh JVM. */
+  private def fullBuildAt(cores: Int, sfDir: String,
+                          repl: Int): (Double, Double, Long) = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratch), s"idx_n$cores").toString
+    val out = drain(forkWorker(0 until cores, cores,
+      Seq("full", cores.toString, sfDir, repl.toString, root)))
+    val m = "cores=(\\d+) docs=(\\d+) sec=([0-9.]+) fps=([0-9.]+)".r
+      .findFirstMatchIn(out)
+      .getOrElse(throw new RuntimeException(s"bench fork failed:\n$out"))
+    val res = (m.group(4).toDouble, m.group(3).toDouble, m.group(2).toLong)
+    // free the tmpfs space between runs
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    rm(new java.io.File(root))
+    res
+  }
+
+  private def drain(p: Process): String = {
+    val sb = new StringBuilder
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+    p.waitFor()
+    sb.toString
+  }
+
+  /** Build the index on a simulated cluster of `workers` executors x
+    * `coresPer` cores (disjoint taskset cpu sets; separate JVM heaps, like
+    * separate executors on one physical node). The docs + finalize stages
+    * run on the full cpu budget (in a real cluster they run cluster-wide);
+    * the dominant shard stage is split across the worker JVMs.
+    * Returns (files/s, seconds, docs). */
+  private def clusterBuild(workers: Int, coresPer: Int, sfDir: String,
+                           repl: Int): (Double, Double, Long) = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_cluster_w$workers").toString
+    val budget = (0 until workers * coresPer)
+    val common = Seq(sfDir, repl.toString, root)
+    // stage durations are measured INSIDE the forks (JVM spin-up and JIT
+    // warmup excluded — cluster executors are long-lived)
+    def secOf(out: String): Double =
+      "sec=([0-9.eE-]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+        .getOrElse(throw new RuntimeException(s"worker failed:\n$out"))
+    val docsOut = drain(forkWorker(budget, budget.size,
+      Seq("docs", budget.size.toString) ++ common))
+    val slice = 32 / workers
+    val procs = (0 until workers).map { w =>
+      val cpus = (w * coresPer) until ((w + 1) * coresPer)
+      forkWorker(cpus, coresPer,
+        Seq("shards", coresPer.toString) ++ common ++
+          Seq((w * slice).toString, ((w + 1) * slice).toString))
+    }
+    val shardSec = procs.map(p => secOf(drain(p))).max
+    val fin = drain(forkWorker(budget, budget.size,
+      Seq("finalize", budget.size.toString) ++ common))
+    val sec = secOf(docsOut) + shardSec + secOf(fin)
+    val docs = "FINAL docs=(\\d+)".r.findFirstMatchIn(fin)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new RuntimeException(s"finalize failed: $fin"))
+    (docs / sec, sec, docs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "60").toInt
+    // N vs 4N parallelism for the scaling-efficiency evidence (the brief's
+    // "local[N] vs local[4N]" sandbox stand-in for N vs 4N executors).
+    // Each measurement is a fresh forked JVM pinned with taskset +
+    // ActiveProcessorCount to exactly its cpu budget, with Spark scratch
+    // dirs on tmpfs — the most controlled single-host methodology
+    // available here. Runs are interleaved and the median taken.
+    // SPARK_GRAFT_BENCH_MODE=cluster instead simulates 1 vs 4 separate
+    // 2-core executor JVMs over disjoint shard slices.
+    // See BENCH/BASELINE.md for the full measurement story.
+    val coresPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val n1 = coresPer
+    val n4 = 4 * coresPer
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "thread")
+
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val runsN = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
+    val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
+    (1 to iters).foreach { _ =>
+      if (mode == "cluster") {
+        runsN += clusterBuild(1, coresPer, sfDir, repl)
+        runs4N += clusterBuild(4, coresPer, sfDir, repl)
+      } else {
+        runsN += fullBuildAt(n1, sfDir, repl)
+        runs4N += fullBuildAt(n4, sfDir, repl)
+      }
+    }
+    def median(rs: Seq[(Double, Double, Long)]): (Double, Double, Long) =
+      rs.sortBy(_._1).apply(rs.size / 2)
+    val (fpsN, secN, _) = median(runsN.toSeq)
+    val (fps4N, sec4N, nDocs) = median(runs4N.toSeq)
+    val efficiency = fps4N / (4.0 * fpsN)
+
+    // ---- warm query latency (full machine) ------------------------------
+    val spark = newSession(math.max(cpus, n4))
+    val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var p50Ex = 0.0
+    var p50Wand = 0.0
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bench_q").toString
+      FtsIndexBuilder.build(spark,
+        CodeCorpus.sourceFiles(spark, sfDir).drop("doc_id"), root,
+        FtsIndexBuilder.Config(nShards = 8, segmentPartitions = 16))
+      val idx = new FtsIndex(spark, root).warm()
+      val querySet = Seq("merge", "sort table", "import", "merge sort scan",
+        "getusername", "handler", "stream batch")
+      // warmup
+      idx.searchCollected(FtsQuery("merge"))
+      idx.searchWand("merge", 10)
+      val exTimes = querySet.map { q =>
+        val (_, t) = timeS(idx.searchCollected(FtsQuery(q, limit = 10)))
+        qtimes(s"q_ex_${q.replace(' ', '_')}") = t
+        t
+      }.sorted
+      val wandTimes = querySet.map { q =>
+        val (_, t) = timeS(idx.searchWand(q, 10))
+        qtimes(s"q_wand_${q.replace(' ', '_')}") = t
+        t
+      }.sorted
+      p50Ex = exTimes(exTimes.size / 2)
+      p50Wand = wandTimes(wandTimes.size / 2)
+    } finally spark.stop()
+
+    qtimes(s"build_n$n1") = secN
+    qtimes(s"build_n$n4") = sec4N
+    val total = qtimes.values.sum
+    val qs = qtimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      s"""{"metric":"fts index build + BM25 top-10 query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"files_per_sec_n$n1":$fpsN,"files_per_sec_n$n4":$fps4N,"scaling_efficiency":$efficiency,"p50_query_exhaustive_sec":$p50Ex,"p50_query_wand_sec":$p50Wand}""")
   }
 }

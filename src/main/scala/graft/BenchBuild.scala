@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One worker process of the scaling benchmark — forked by [[Bench]] with
+  * `taskset` + `-XX:ActiveProcessorCount` so each worker JVM is a faithful
+  * stand-in for one fixed-size executor (own heap, GC, allocator; only the
+  * host's memory bus and disk are shared, as they would be within one
+  * physical node of a real cluster).
+  *
+  * Modes:
+  *   docs <cores> <sfDir> <repl> <root>             — shared docs stage
+  *   shards <cores> <sfDir> <repl> <root> <lo> <hi> — build shards [lo,hi)
+  *   finalize <cores> <sfDir> <repl> <root>         — dict/stats/commit
+  *   full <cores> <sfDir> <repl> <root>             — everything
+  */
+object BenchBuild {
+
+  private val NShards = 32
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val cores = args(1).toInt
+    val sfDir = args(2)
+    val repl = args(3).toInt
+    val root = args(4)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bb-$mode-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def corpus(r: Int) = {
+      val base = graft.corpus.CodeCorpus.sourceFiles(spark, sfDir)
+        .drop("doc_id")
+      spark.range(r).repartition(r)
+        .select(col("id").cast("string").as("replica"))
+        .join(broadcast(base))
+        .select(concat(col("repo"), lit("_r"), col("replica")).as("repo"),
+          concat(col("replica"), lit("/"), col("path")).as("path"),
+          col("commit"), col("lang"), col("content"))
+    }
+
+    def cfg = graft.index.FtsIndexBuilder.Config(nShards = NShards,
+      segmentPartitions = math.max(2 * cores, 4), shardGroups = 1)
+
+    mode match {
+      case "docs" =>
+        // small untimed warmup of the write path
+        val wroot = java.nio.file.Files
+          .createTempDirectory("graft_bb_wd").toString
+        graft.index.FtsIndexBuilder.stageDocs(spark, corpus(1).limit(500),
+          wroot, cfg)
+        val t0 = System.nanoTime()
+        val vDir = graft.index.FtsIndexBuilder
+          .stageDocs(spark, corpus(repl), root, cfg)
+        println(s"DOCS vdir=$vDir sec=${(System.nanoTime() - t0) / 1e9}")
+      case "shards" =>
+        val lo = args(5).toInt
+        val hi = args(6).toInt
+        // untimed JIT warmup against a throwaway root
+        val wroot = java.nio.file.Files
+          .createTempDirectory("graft_bb_w").toString
+        graft.index.FtsIndexBuilder.build(spark, corpus(1).limit(500), wroot,
+          graft.index.FtsIndexBuilder.Config(nShards = 2,
+            segmentPartitions = 4, shardGroups = 2))
+        val vDir = s"$root/v1"
+        val t0 = System.nanoTime()
+        graft.index.FtsIndexBuilder
+          .stageShards(spark, vDir, cfg, Some(lo until hi))
+        println(s"SHARDS lo=$lo hi=$hi sec=${(System.nanoTime() - t0) / 1e9}")
+      case "finalize" =>
+        // untimed warmup of the scan/shuffle/write paths (executors are
+        // long-lived in a real cluster; JIT/codegen is not the job)
+        val wroot = java.nio.file.Files
+          .createTempDirectory("graft_bb_wf").toString
+        graft.index.FtsIndexBuilder.build(spark, corpus(1).limit(500), wroot,
+          graft.index.FtsIndexBuilder.Config(nShards = 2,
+            segmentPartitions = 4, shardGroups = 2))
+        val vDir = s"$root/v1"
+        val t0 = System.nanoTime()
+        val n = graft.index.FtsIndexBuilder
+          .stageFinalize(spark, root, vDir, cfg)
+        println(s"FINAL docs=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      case "full" =>
+        val t0 = System.nanoTime()
+        val report = graft.index.FtsIndexBuilder
+          .build(spark, corpus(repl), root, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"BUILD cores=$cores docs=${report.nDocs} sec=$sec fps=${report.nDocs / sec}")
+    }
+    spark.stop()
+  }
+}

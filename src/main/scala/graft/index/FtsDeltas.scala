@@ -59,8 +59,6 @@ object FtsDeltas {
       if (batch.columns.contains("identifiers")) batch
       else batch.withColumn("identifiers", lit(null).cast("array<string>"))
     val extractIds = udf((content: String) => Tokenizer.identifiers(content))
-    val identLen = udf((ids: Seq[String]) =>
-      Tokenizer.identifierFieldTokens(ids, cfg.codeAnalyzers).size.toLong)
     val w = Window.partitionBy(lit(1)).orderBy("repo", "path")
     val docs = withIds
       .withColumn("shard", lit((GenBase + gen).toInt))
@@ -68,11 +66,9 @@ object FtsDeltas {
         lit((GenBase + gen) << 40) + (row_number().over(w) - 1))
       .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("ids", coalesce(col("identifiers"), extractIds(col("content"))))
-      .withColumn("dl", size(IndexBuilder.tokenArray(col("content"))).cast("long"))
-      .withColumn("dl_ident", identLen(col("ids")))
       .withColumn("gen", lit(gen))
       .select("doc_id", "shard", "repo", "path", "commit", "lang",
-        "sha256", "dl", "dl_ident", "ids", "content", "gen")
+        "sha256", "ids", "content", "gen")
     docs.write.mode("overwrite").parquet(s"$dDir/docs")
 
     val written = spark.read.parquet(s"$dDir/docs")
@@ -98,38 +94,19 @@ object FtsDeltas {
                                  dDir: String, gen: Int,
                                  cfg: FtsIndexBuilder.Config): Unit = {
     import spark.implicits._
-    val indexRaw = cfg.indexRawField
-    val codeAn = cfg.codeAnalyzers
-    val toks = docs
-      .select($"doc_id", $"content", $"ids", $"dl", $"dl_ident")
-      .as[(Long, String, Seq[String], Long, Long)]
-      .flatMap { case (id, content, ids, dl, dlIdent) =>
-        val c = Tokenizer.tokenize(content).iterator.zipWithIndex
-          .map { case (t, p) => (FieldContent, t, id, dl, p) }
-        val r = if (indexRaw)
-          Tokenizer.tokenizeRaw(content).iterator.zipWithIndex
-            .map { case (t, p) => (FieldRaw, t, id, dl, p) }
-        else Iterator.empty
-        val i = Tokenizer.identifierFieldTokens(ids, codeAn).iterator
-          .map { case (t, p) => (FieldIdent, t, id, dlIdent, p) }
-        c ++ r ++ i
-      }.toDF("field", "term", "doc_id", "dl", "pos")
-    val postings = toks
-      .groupBy("field", "term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list($"pos")).as("positions"))
-    val shardId = (GenBase + gen).toInt
-    val blockSize = cfg.blockSize
-    postings
-      .repartitionByRange(math.max(cfg.segmentPartitions / 4, 1),
-        $"field", $"term", $"doc_id")
-      .sortWithinPartitions("field", "term", "doc_id")
-      .select($"field", $"term", $"doc_id", $"dl", $"tf", $"positions")
-      .as[(String, String, Long, Long, Long, Seq[Int])]
-      .mapPartitions(it => FtsIndexBuilder.encodePartition(it, shardId, blockSize))
+    FtsIndexBuilder.postingRows(docs, cfg)
+      .repartition(math.max(cfg.segmentPartitions / 4, 1),
+        $"shard", $"field", $"term",
+        floor($"doc_id" / lit(32L * cfg.blockSize)))
+      .sortWithinPartitions("shard", "field", "term", "doc_id")
+      .select($"shard", $"field", $"term", $"doc_id",
+        $"dl", $"tf", $"pos_bytes")
+      .as[(Int, String, String, Long, Long, Long, Array[Byte])]
+      .mapPartitions(it => FtsIndexBuilder.encodePartition(it, cfg.blockSize))
       .write.mode("overwrite").parquet(s"$dDir/segments")
-    postings.groupBy("field", "term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    spark.read.parquet(s"$dDir/segments")
+      .groupBy("field", "term")
+      .agg(sum("n").as("df"), sum("sum_tf").as("cf"))
       .write.mode("overwrite").parquet(s"$dDir/dict")
   }
 

@@ -44,7 +44,11 @@ object FtsIndexBuilder {
         * for exact reference-fixture parity. */
       codeAnalyzers: Boolean = true,
       /** index the case-preserving content_raw field. */
-      indexRawField: Boolean = true)
+      indexRawField: Boolean = true,
+      /** shard-group batching: shards stay the manifest/resume unit, but
+        * each group of ceil(nShards/shardGroups) shards builds in ONE job
+        * chain. Keep the value stable across resume runs of one build. */
+      shardGroups: Int = 4)
 
   final case class BuildReport(version: String, nDocs: Long,
                                shardsBuilt: Seq[Int], shardsSkipped: Seq[Int])
@@ -54,14 +58,35 @@ object FtsIndexBuilder {
 
   /** Full (or resumed) index build from an ingest table with columns
     * (repo, path, commit, lang, content[, identifiers array<string>]). */
+  private val timing = sys.env.contains("GRAFT_BUILD_TIMING")
+  @inline private def phase[A](name: String)(f: => A): A = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[timing] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
+    }
+  }
+
   def build(spark: SparkSession, source: DataFrame, root: String,
             cfg: Config = Config()): BuildReport = {
+    val vDir = stageDocs(spark, source, root, cfg)
+    val (built, skipped) = stageShards(spark, vDir, cfg, None)
+    val nDocs = stageFinalize(spark, root, vDir, cfg)
+    BuildReport(vDir.split('/').last, nDocs, built, skipped)
+  }
+
+  /** Stage 1: assign docIds and persist the doc table. Returns the version
+    * dir. Idempotent (skips if the docs parquet is complete). Callable on
+    * its own so a multi-worker deployment (one driver per executor-set,
+    * e.g. the scaling bench's taskset-pinned JVMs) can share it. */
+  def stageDocs(spark: SparkSession, source: DataFrame, root: String,
+                cfg: Config = Config()): String = {
     import spark.implicits._
     val hfs = fs(spark, root)
     val version = resumableVersion(hfs, root)
     val vDir = s"$root/$version"
-
-    // ---- stage 1: docs -------------------------------------------------
     val docsDir = s"$vDir/docs"
     if (!hfs.exists(new Path(docsDir, "_SUCCESS"))) {
       val withIds =
@@ -70,8 +95,6 @@ object FtsIndexBuilder {
           lit(null).cast("array<string>"))
       val extractIds = udf((content: String) =>
         Tokenizer.identifiers(content))
-      val identLen = udf((ids: Seq[String]) =>
-        Tokenizer.identifierFieldTokens(ids, cfg.codeAnalyzers).size.toLong)
       val w = Window.partitionBy($"shard").orderBy($"repo", $"path")
       withIds
         .withColumn("shard",
@@ -81,32 +104,70 @@ object FtsIndexBuilder {
             (row_number().over(w) - 1))
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("ids", coalesce($"identifiers", extractIds($"content")))
-        .withColumn("dl", size(IndexBuilder.tokenArray($"content")).cast("long"))
-        .withColumn("dl_ident", identLen($"ids"))
         .select("doc_id", "shard", "repo", "path", "commit", "lang",
-          "sha256", "dl", "dl_ident", "ids", "content")
+          "sha256", "ids", "content")
         .write.mode("overwrite").partitionBy("shard").parquet(docsDir)
     }
-    val docs = spark.read.parquet(docsDir)
-    val nDocs = docs.count()
+    vDir
+  }
 
-    // ---- stage 2: per-shard segments (resumable) -----------------------
+  /** Stage 2: per-shard segments (resumable). `subset` restricts the work
+    * to given shards — the unit a worker claims in a multi-driver
+    * deployment; None = all shards not yet manifested. Shards are
+    * independent checkpoint units; groups are submitted concurrently so
+    * the scheduler interleaves their jobs (wall-clock ~ max(group)). */
+  def stageShards(spark: SparkSession, vDir: String, cfg: Config,
+                  subset: Option[Seq[Int]]): (Seq[Int], Seq[Int]) = {
+    val docs = spark.read.parquet(s"$vDir/docs")
     val done = doneShards(spark, vDir)
-    val (skipped, todo) = (0 until cfg.nShards).partition(done.contains)
-    todo.foreach { s => buildShard(spark, docs, vDir, s, cfg) }
+    val candidates = subset.getOrElse(0 until cfg.nShards).toSeq
+    val (skipped, todo) = candidates.partition(done.contains)
+    if (todo.nonEmpty) {
+      // deterministic round-robin grouping of the remaining shards; group
+      // id = min shard of the group (stable across identical resume states)
+      val nGroups = math.max(1, math.min(cfg.shardGroups, todo.size))
+      val groups = todo.zipWithIndex.groupBy(_._2 % nGroups)
+        .values.map(_.map(_._1)).toSeq.sortBy(_.min)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      phase("shard-groups")(Await.result(
+        Future.sequence(groups.map { g =>
+          Future(buildShardGroup(spark, docs, vDir, g.min, g, cfg))
+        }), Duration.Inf))
+    }
+    (todo, skipped)
+  }
 
-    // ---- stage 3: finalize ---------------------------------------------
-    val dictShards = spark.read.parquet(s"$vDir/dict_shards/*")
-    dictShards.groupBy("field", "term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"))
-      .repartitionByRange(cfg.segmentPartitions / 2 max 1, $"field", $"term")
+  /** Stage 3: global dict, corpus stats, atomic current-pointer swap.
+    * Returns nDocs. */
+  def stageFinalize(spark: SparkSession, root: String, vDir: String,
+                    cfg: Config): Long = {
+    import spark.implicits._
+    val hfs = fs(spark, root)
+    val version = vDir.split('/').last
+    val nDocs = phase("docs count")(
+      spark.read.parquet(s"$vDir/docs").count())
+    val tFin = System.nanoTime()
+    spark.read.parquet(s"$vDir/segments/*")
+      .groupBy("field", "term")
+      .agg(sum("n").as("df"), sum("sum_tf").as("cf"))
+      .repartition(cfg.segmentPartitions / 2 max 1, $"field", $"term")
       .sortWithinPartitions("field", "term")
       .write.mode("overwrite").parquet(s"$vDir/dict")
-    docs.agg(
-      count(lit(1)).as("n_docs"),
-      avg("dl").as("avgdl_content"),
-      avg("dl").as("avgdl_raw"),
-      avg("dl_ident").as("avgdl_ident"))
+    // avgdl per field from the dictionary: sum(cf)/N == avg(dl) exactly
+    // (token totals are exact longs; zero-token docs contribute 0 to both)
+    val cfByField = spark.read.parquet(s"$vDir/dict")
+      .groupBy("field").agg(sum("cf").as("cf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def avgdl(f: String): Double =
+      if (nDocs == 0) 0.0
+      else cfByField.getOrElse(f,
+        cfByField.getOrElse(FieldContent, 0L)).toDouble / nDocs
+    spark.createDataFrame(Seq((nDocs, avgdl(FieldContent),
+        avgdl(FieldRaw), avgdl(FieldIdent))))
+      .toDF("n_docs", "avgdl_content", "avgdl_raw", "avgdl_ident")
       .write.mode("overwrite").parquet(s"$vDir/stats")
     hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
     // atomic current-pointer swap
@@ -116,119 +177,185 @@ object FtsIndexBuilder {
     val cur = new Path(root, "current")
     if (hfs.exists(cur)) hfs.delete(cur, false)
     hfs.rename(tmp, cur)
-    BuildReport(version, nDocs, todo, skipped)
+    if (timing) println(f"[timing] finalize ${(System.nanoTime() - tFin) / 1e9}%.2fs")
+    nDocs
   }
 
-  /** One shard = one checkpointable unit of segment construction. */
-  private def buildShard(spark: SparkSession, docs: DataFrame, vDir: String,
-                         shard: Int, cfg: Config): Unit = {
-    import spark.implicits._
-    val t0 = System.currentTimeMillis()
-    val d = docs.where($"shard" === shard)
-      .select($"doc_id", $"content", $"ids", $"dl", $"dl_ident")
-      .as[(Long, String, Seq[String], Long, Long)]
+  /** Per-posting accumulator used during the doc-local combine. */
+  private final class PostingAcc {
+    val out = new java.io.ByteArrayOutputStream(8)
+    var last = -1
+    var n = 0L
+    def add(pos: Int): Unit = {
+      if (n == 0L) Codec.writeVarLong(out, pos.toLong)
+      else Codec.writeVarLong(out, (pos - last).toLong)
+      last = pos; n += 1
+    }
+  }
 
+  /** Doc-local posting rows: (shard, field, term, doc_id, dl, tf,
+    * pos_bytes). Tokenization AND per-(doc, term) aggregation happen in
+    * one map pass — a document is self-contained, so term frequencies and
+    * delta-encoded position lists never need a token-level shuffle (the
+    * map-side combine the north rule's partial-aggregation stage implies).
+    * The only shuffle in the whole segment build is the posting-row
+    * repartition to segment partitions.
+    *
+    * Field lengths come from the same single split pass; the lowercased
+    * content stream is derived from the raw split (identical by
+    * construction, see Tokenizer). */
+  private[index] def postingRows(docs: DataFrame, cfg: Config): DataFrame = {
+    import docs.sparkSession.implicits._
     val indexRaw = cfg.indexRawField
     val codeAn = cfg.codeAnalyzers
-    // (field, term, doc_id, dl, pos)
-    val toks: Dataset[(String, String, Long, Long, Int)] = d.flatMap {
-      case (id, content, ids, dl, dlIdent) =>
-        val c = Tokenizer.tokenize(content).iterator.zipWithIndex
-          .map { case (t, p) => (FieldContent, t, id, dl, p) }
+
+    def combine(sh: Int, field: String, id: Long, dl: Long,
+                toks: Iterator[(String, Int)])
+        : Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] = {
+      val m = new java.util.LinkedHashMap[String, PostingAcc]()
+      toks.foreach { case (t, p) =>
+        var acc = m.get(t)
+        if (acc == null) { acc = new PostingAcc; m.put(t, acc) }
+        acc.add(p)
+      }
+      val it = m.entrySet().iterator()
+      new Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (Int, String, String, Long, Long, Long, Array[Byte]) = {
+          val e = it.next()
+          (sh, field, e.getKey, id, dl, e.getValue.n, e.getValue.out.toByteArray)
+        }
+      }
+    }
+
+    docs.select($"shard", $"doc_id", $"content", $"ids")
+      .as[(Int, Long, String, Seq[String])]
+      .flatMap { case (sh, id, content, ids) =>
+        val raw = Tokenizer.tokenizeRaw(content)
+        val dl = raw.size.toLong
+        val c = combine(sh, FieldContent, id, dl,
+          raw.iterator.zipWithIndex.map { case (t, p) =>
+            (t.toLowerCase(java.util.Locale.ROOT), p)
+          })
         val r = if (indexRaw)
-          Tokenizer.tokenizeRaw(content).iterator.zipWithIndex
-            .map { case (t, p) => (FieldRaw, t, id, dl, p) }
+          combine(sh, FieldRaw, id, dl, raw.iterator.zipWithIndex)
         else Iterator.empty
-        val i = Tokenizer.identifierFieldTokens(ids, codeAn).iterator
-          .map { case (t, p) => (FieldIdent, t, id, dlIdent, p) }
+        val identToks = Tokenizer.identifierFieldTokens(ids, codeAn)
+        val i = combine(sh, FieldIdent, id, identToks.size.toLong,
+          identToks.iterator)
         c ++ r ++ i
-    }.toDF("field", "term", "doc_id", "dl", "pos")
-      .as[(String, String, Long, Long, Int)]
-
-    val postings = toks.toDF("field", "term", "doc_id", "dl", "pos")
-      .groupBy("field", "term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list($"pos")).as("positions"))
-
-    val blockSize = cfg.blockSize
-    val blocks = postings
-      .repartitionByRange(cfg.segmentPartitions, $"field", $"term", $"doc_id")
-      .sortWithinPartitions("field", "term", "doc_id")
-      .select($"field", $"term", $"doc_id", $"dl", $"tf", $"positions")
-      .as[(String, String, Long, Long, Long, Seq[Int])]
-      .mapPartitions { it => encodePartition(it, shard, blockSize) }
-
-    blocks.write.mode("overwrite").parquet(s"$vDir/segments/s$shard")
-
-    // per-shard dictionary (df/cf) — summed globally at finalize
-    postings.groupBy("field", "term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .write.mode("overwrite").parquet(s"$vDir/dict_shards/s$shard")
-
-    // lineage + metrics manifest row (read back what was durably written)
-    val seg = spark.read.parquet(s"$vDir/segments/s$shard")
-    val m = seg.agg(
-      count(lit(1)).as("n_blocks"),
-      coalesce(sum("n"), lit(0L)).as("n_postings"),
-      coalesce(sum(length($"doc_bytes") + length($"tf_bytes") +
-        length($"dl_bytes") + length($"pos_bytes")), lit(0L)).as("bytes_postings"))
-      .collect()(0)
-    val dd = docs.where($"shard" === shard).agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum("dl"), lit(0L)).as("n_tokens"),
-      coalesce(sum(crc32($"sha256")), lit(0L)).as("input_sha"),
-      coalesce(sum(length($"content")), lit(0L)).as("bytes_docs"))
-      .collect()(0)
-    val row = ManifestRow(shard, "done", dd.getLong(0), dd.getLong(1),
-      m.getLong(1), m.getLong(0), dd.getLong(3), m.getLong(2),
-      System.currentTimeMillis() - t0, dd.getLong(2).toString)
-    spark.createDataset(Seq(row))
-      .write.mode("overwrite").parquet(s"$vDir/manifest/s$shard")
+      }.toDF("shard", "field", "term", "doc_id", "dl", "tf", "pos_bytes")
   }
 
-  /** Streaming block encoder over a (field, term, doc_id)-sorted iterator.
-    * Memory is O(blockSize), independent of posting-list length — a term
-    * with df = N (stopword-grade skew) streams through without buffering.
+  /** Build the segments of a GROUP of shards in one Spark job chain.
+    * Shards remain the manifest/lineage unit (one row each, committed
+    * atomically per group); grouping just batches jobs so driver-side
+    * orchestration overhead stays O(groups), not O(shards) — at many
+    * thousands of shards per cluster that difference is the build time.
+    */
+  private def buildShardGroup(spark: SparkSession, docs: DataFrame,
+                              vDir: String, gid: Int, shards: Seq[Int],
+                              cfg: Config): Unit = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val d = docs.where($"shard".isin(shards: _*))
+
+    // Doc-local posting rows (see postingRows) -> ONE shuffle:
+    // hash-partition on (shard, field, term, doc-bucket). Deterministic in
+    // the partition COUNT only (no range-sampling pass, and — unlike a
+    // range partitioner — independent of the input's split layout, so
+    // segments are bit-identical at any parallelism). The doc-bucket key
+    // splits a skewed term's posting list (df == N stopwords) across
+    // partitions in blockSize*32-doc slices — the north-rule salting
+    // analog. Terms stay sorted WITHIN each partition, so Parquet
+    // row-group min/max stats still prune term lookups.
+    val blockSize = cfg.blockSize
+    postingRows(d, cfg)
+      .repartition(cfg.segmentPartitions, $"shard", $"field", $"term",
+        floor($"doc_id" / lit(32L * cfg.blockSize)))
+      .sortWithinPartitions("shard", "field", "term", "doc_id")
+      .select($"shard", $"field", $"term", $"doc_id", $"dl", $"tf",
+        $"pos_bytes")
+      .as[(Int, String, String, Long, Long, Long, Array[Byte])]
+      .mapPartitions { it => encodePartition(it, blockSize) }
+      .write.mode("overwrite").parquet(s"$vDir/segments/g$gid")
+    if (timing) println(f"[timing] g$gid%d segments ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
+
+    // lineage/metrics derive from the durably written segments (columnar
+    // read of the small metadata columns only — the posting pipeline runs
+    // exactly once, nothing persisted; the global dictionary is likewise
+    // aggregated from segments at finalize)
+    val seg = spark.read.parquet(s"$vDir/segments/g$gid")
+
+    // per-shard lineage + metrics rows, committed together (group-atomic:
+    // either every shard of the group is manifested or none is)
+    val wall = System.currentTimeMillis() - t0
+    val m = seg.groupBy("shard").agg(
+      count(lit(1)).as("n_blocks"),
+      sum("n").as("n_postings"),
+      sum(when($"field" === FieldContent, $"sum_tf")
+        .otherwise(lit(0L))).as("n_tokens"),
+      sum(length($"doc_bytes") + length($"tf_bytes") +
+        length($"dl_bytes") + length($"pos_bytes")).as("bytes_postings"))
+    val dd = d.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(crc32($"sha256")).as("input_sha"),
+      sum(length($"content")).as("bytes_docs"))
+    val rows = dd.join(m, Seq("shard"), "left").collect().map { r =>
+      ManifestRow(r.getAs[Int]("shard"), "done",
+        r.getAs[Long]("n_docs"),
+        Option(r.getAs[java.lang.Long]("n_tokens")).map(_.toLong).getOrElse(0L),
+        Option(r.getAs[java.lang.Long]("n_postings")).map(_.toLong).getOrElse(0L),
+        Option(r.getAs[java.lang.Long]("n_blocks")).map(_.toLong).getOrElse(0L),
+        r.getAs[Long]("bytes_docs"),
+        Option(r.getAs[java.lang.Long]("bytes_postings")).map(_.toLong).getOrElse(0L),
+        wall, r.getAs[Long]("input_sha").toString)
+    }
+    spark.createDataset(rows.toSeq)
+      .write.mode("overwrite").parquet(s"$vDir/manifest/g$gid")
+    if (timing) println(f"[timing] g$gid%d manifest ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
+  }
+
+  /** Streaming block encoder over a (shard, field, term, doc_id)-sorted
+    * iterator. Memory is O(blockSize), independent of posting-list length —
+    * a term with df = N (stopword-grade skew) streams through without
+    * buffering; range partitioning on (shard, field, term, doc_id) has
+    * already split such a list across partitions by doc range (the
+    * north-rule skew treatment).
     */
   private[index] def encodePartition(
-      it: Iterator[(String, String, Long, Long, Long, Seq[Int])],
-      shard: Int, blockSize: Int): Iterator[SegmentBlock] =
+      it: Iterator[(Int, String, String, Long, Long, Long, Array[Byte])],
+      blockSize: Int): Iterator[SegmentBlock] =
     new Iterator[SegmentBlock] {
       private val buf = it.buffered
-      private var pending: Option[SegmentBlock] = None
-
-      override def hasNext: Boolean = pending.nonEmpty || buf.hasNext
-
-      override def next(): SegmentBlock = pending match {
-        case Some(b) => pending = None; b
-        case None =>
-          val (field, term, _, _, _, _) = buf.head
-          val docIds = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
-          val tfs = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
-          val dls = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
-          val posOut = new java.io.ByteArrayOutputStream()
-          var maxTf = 0L
-          var minDl = Long.MaxValue
-          while (buf.hasNext && buf.head._1 == field &&
-                 buf.head._2 == term && docIds.length < blockSize) {
-            val (_, _, doc, dl, tf, positions) = buf.next()
-            docIds += doc; tfs += tf; dls += dl
-            if (tf > maxTf) maxTf = tf
-            if (dl < minDl) minDl = dl
-            var prev = 0L
-            var first = true
-            positions.foreach { p =>
-              if (first) { Codec.writeVarLong(posOut, p.toLong); first = false }
-              else Codec.writeVarLong(posOut, p.toLong - prev)
-              prev = p.toLong
-            }
-          }
-          SegmentBlock(shard, field, term, docIds.head, docIds.last,
-            docIds.length,
-            Codec.encodeDeltas(docIds.toArray),
-            Codec.encodeVarints(tfs.toArray),
-            Codec.encodeVarints(dls.toArray),
-            posOut.toByteArray, maxTf, minDl)
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): SegmentBlock = {
+        val (shard, field, term, _, _, _, _) = buf.head
+        val docIds = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
+        val tfs = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
+        val dls = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
+        val posOut = new java.io.ByteArrayOutputStream()
+        var maxTf = 0L
+        var minDl = Long.MaxValue
+        var sumTf = 0L
+        while (buf.hasNext && buf.head._1 == shard &&
+               buf.head._2 == field && buf.head._3 == term &&
+               docIds.length < blockSize) {
+          val (_, _, _, doc, dl, tf, posBytes) = buf.next()
+          docIds += doc; tfs += tf; dls += dl
+          sumTf += tf
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          // per-posting position list is already delta-varint encoded by
+          // the doc-local combine — append verbatim
+          posOut.write(posBytes, 0, posBytes.length)
+        }
+        SegmentBlock(shard, field, term, docIds.head, docIds.last,
+          docIds.length, sumTf,
+          Codec.encodeDeltas(docIds.toArray),
+          Codec.encodeVarints(tfs.toArray),
+          Codec.encodeVarints(dls.toArray),
+          posOut.toByteArray, maxTf, minDl)
       }
     }
 

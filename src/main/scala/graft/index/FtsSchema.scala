@@ -32,8 +32,7 @@ object FtsSchema {
 
   final case class DocRow(doc_id: Long, shard: Int, repo: String,
                           path: String, commit: String, lang: String,
-                          sha256: String, dl: Long, dl_ident: Long,
-                          content: String)
+                          sha256: String, ids: Seq[String], content: String)
 
   /** One posting block: up to the builder's blockSize postings of a single
     * (field, term) run, delta-gap + varint encoded:
@@ -48,6 +47,7 @@ object FtsSchema {
     */
   final case class SegmentBlock(shard: Int, field: String, term: String,
                                 first_doc: Long, last_doc: Long, n: Int,
+                                sum_tf: Long,
                                 doc_bytes: Array[Byte], tf_bytes: Array[Byte],
                                 dl_bytes: Array[Byte], pos_bytes: Array[Byte],
                                 max_tf: Long, min_dl: Long)

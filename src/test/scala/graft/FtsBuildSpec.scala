@@ -47,15 +47,16 @@ class FtsBuildSpec extends AnyFunSuite {
     buildAll(rFull, "4")
     val rPart = TestSpark.tempDir("part")
     buildAll(rPart, "4")
-    // simulate a mid-build crash: wipe shard 1's segments+manifest and the
-    // success/current markers
+    // simulate a mid-build crash: wipe shard-group g1's segments+manifest
+    // and the success/current markers (group = shard 1 here: 3 shards over
+    // 4 group slots => singleton groups)
     def rm(p: String): Unit = {
       val f = new java.io.File(p)
       if (f.isDirectory) f.listFiles.foreach(c => rm(c.getPath))
       f.delete()
     }
-    rm(s"$rPart/v1/segments/s1")
-    rm(s"$rPart/v1/manifest/s1")
+    rm(s"$rPart/v1/segments/g1")
+    rm(s"$rPart/v1/manifest/g1")
     rm(s"$rPart/v1/BUILD_SUCCESS")
     rm(s"$rPart/current")
     val report = FtsIndexBuilder.build(spark,
