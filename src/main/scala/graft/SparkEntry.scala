@@ -37,10 +37,11 @@ object SparkEntry {
     "fts_engine_single" -> Queries.engineSingle,
     "fts_engine_and" -> Queries.engineAnd,
     "fts_engine_wand" -> Queries.engineWand,
-  ) ++ graft.ops.OpsQueries.all
+  ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
 
   def oracleSql: Map[String, String] =
-    OracleQueries.all ++ graft.ops.OpsOracle.all
+    OracleQueries.all ++ graft.ops.OpsOracle.all ++
+      graft.sources.DiscoveryQueries.oracle
 }
 
 /** The Spark side of each verified query. Each function takes the

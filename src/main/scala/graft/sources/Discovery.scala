@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PathGlob
+
+/** Input-side discovery operators over the ingest table — the reference's
+  * FileFinder pipeline re-expressed as Catalyst filters (SURVEY.md §2.1
+  * S1-S8). On an Iceberg/parquet-backed table these predicates push into
+  * the scan (partition pruning replaces directory pruning).
+  */
+object Discovery {
+
+  /** Default extension allow-list (reference: config.py:388-452 ships 50+;
+    * the code-relevant core is reproduced — the list is configuration). */
+  val DefaultExtensions: Set[String] = Set(
+    "py", "pyw", "pyi", "js", "jsx", "mjs", "cjs", "ts", "tsx", "java",
+    "go", "rs", "c", "h", "cpp", "cc", "cxx", "hpp", "cs", "rb", "php",
+    "swift", "kt", "kts", "scala", "sc", "sh", "bash", "zsh", "html",
+    "htm", "css", "scss", "sql", "yaml", "yml", "json", "xml", "md",
+    "markdown", "toml", "ini", "cfg", "txt", "pl", "pm", "lua", "r",
+    "hs", "ex", "exs", "erl", "clj", "vue", "svelte", "dart", "groovy")
+
+  /** Default exclude-dir prune list (reference: config.py:453-474). */
+  val DefaultExcludeDirs: Seq[String] = Seq(
+    "node_modules", "venv", ".venv", "__pycache__", ".git", ".idea",
+    "dist", "build", "target", ".pytest_cache", ".mypy_cache",
+    "coverage", ".next", ".nuxt", "vendor")
+
+  /** Default max file size: 1 MiB (reference: config.py:133-135). */
+  val DefaultMaxFileSize: Long = 1024L * 1024L
+
+  /** S2: extension allow-filter (suffix of `path`). */
+  def extensionFilter(exts: Set[String] = DefaultExtensions): Column =
+    element_at(split(col("path"), "\\."), -1).isin(exts.toSeq: _*)
+
+  /** S4: size filter (content length stands in for st_size on a table). */
+  def sizeFilter(maxLen: Long = DefaultMaxFileSize): Column =
+    length(col("content")) <= maxLen
+
+  /** S5: binary sniff — a NUL byte in the first 1 KiB marks binary
+    * (reference: file_finder.py:151-184). */
+  def textFilter: Column =
+    !substring(col("content"), 1, 1024).contains("\u0000")
+
+  /** S3: exclude-dir / gitignore-style pattern filter. Patterns compile to
+    * gitwildmatch regexes driver-side, composed as one rlike. */
+  def excludePathFilter(
+      dirs: Seq[String] = DefaultExcludeDirs,
+      extraGlobs: Seq[String] = Nil): Column = {
+    val globs = dirs.flatMap(d => Seq(s"$d/**", s"**/$d/**")) ++ extraGlobs
+    val regex = globs.map(PathGlob.toRegex).mkString("|")
+    !col("path").rlike(regex)
+  }
+
+  /** The composed discovery predicate (S2 AND S3 AND S4 AND S5). */
+  def discoveryFilter(exts: Set[String] = DefaultExtensions,
+                      excludeDirs: Seq[String] = DefaultExcludeDirs,
+                      maxLen: Long = DefaultMaxFileSize): Column =
+    extensionFilter(exts) && excludePathFilter(excludeDirs) &&
+      sizeFilter(maxLen) && textFilter
+
+  /** S7: modified-since — on the table model, files whose commit differs
+    * from the indexed watermark (reference mtime filter analog,
+    * file_finder.py:307-314). */
+  def modifiedSince(current: DataFrame, indexed: DataFrame): DataFrame =
+    current.alias("c")
+      .join(indexed.select(col("repo"), col("path"),
+        col("commit").as("indexed_commit")), Seq("repo", "path"), "left")
+      .where(col("indexed_commit").isNull ||
+        col("indexed_commit") =!= col("c.commit"))
+      .drop("indexed_commit")
+
+  /** S8: deleted-file detection — indexed keys absent from the current
+    * table (reference set difference, file_finder.py:341-355). */
+  def deletedFiles(indexed: DataFrame, current: DataFrame): DataFrame =
+    indexed.select("repo", "path")
+      .join(current.select("repo", "path"), Seq("repo", "path"), "left_anti")
+
+  /** T6: extension -> language-name lookup (reference 27-entry map,
+    * fts_watch_handler.py:168-202) as a broadcastable literal map. */
+  val ExtToLanguage: Map[String, String] = Map(
+    "py" -> "python", "pyw" -> "python", "pyi" -> "python",
+    "js" -> "javascript", "jsx" -> "javascript", "mjs" -> "javascript",
+    "ts" -> "typescript", "tsx" -> "typescript", "java" -> "java",
+    "go" -> "go", "rs" -> "rust", "c" -> "c", "h" -> "c",
+    "cpp" -> "cpp", "cc" -> "cpp", "hpp" -> "cpp", "cs" -> "csharp",
+    "rb" -> "ruby", "php" -> "php", "swift" -> "swift", "kt" -> "kotlin",
+    "scala" -> "scala", "sh" -> "shell", "html" -> "html", "css" -> "css",
+    "sql" -> "sql", "md" -> "markdown")
+
+  def languageOfExt(ext: Column): Column = {
+    val m = typedLit(ExtToLanguage)
+    coalesce(element_at(m, ext), ext) // unknown extensions pass through
+  }
+
+  /** A5: file stats by extension (reference file_finder.py:357-379). */
+  def fileStats(files: DataFrame): DataFrame =
+    files.groupBy(element_at(split(col("path"), "\\."), -1).as("ext"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(length(col("content"))).as("total_bytes"))
+}
+
+/** The reference's fixed-size chunker (T4), a pure function re-expressed
+  * from observed behavior (reference: indexing/fixed_size_chunker.py:
+  * chunk sizes :34-44, 15% overlap, stepping :100-169, 1-based line
+  * numbers by newline count :75-98). Used via flatMap when indexing at
+  * chunk granularity. */
+object Chunker {
+
+  final case class Chunk(text: String, chunk_index: Int, total_chunks: Int,
+                         size: Int, line_start: Int, line_end: Int)
+
+  final val DefaultChunkSize = 1000
+  final val OverlapPct = 0.15
+
+  def chunk(text: String, chunkSize: Int = DefaultChunkSize): Seq[Chunk] = {
+    if (text == null || text.trim.isEmpty) return Nil
+    val step = chunkSize - (chunkSize * OverlapPct).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+    var start = 0
+    var idx = 0
+    var done = false
+    while (!done && start < text.length) {
+      val end = math.min(start + chunkSize, text.length)
+      val body = text.substring(start, end)
+      out += Chunk(body, idx, 0, body.length,
+        countNl(text, start) + 1, countNl(text, end) + 1)
+      if (start + chunkSize >= text.length) done = true
+      else { start += step; idx += 1 }
+    }
+    val total = out.length
+    out.toSeq.map(_.copy(total_chunks = total))
+  }
+
+  private def countNl(text: String, until: Int): Int = {
+    var c = 0
+    var i = 0
+    val n = math.min(until, text.length)
+    while (i < n) { if (text.charAt(i) == '\n') c += 1; i += 1 }
+    c
+  }
+}
