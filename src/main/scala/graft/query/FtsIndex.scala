@@ -258,9 +258,13 @@ class FtsIndex(spark: SparkSession, root: String) {
     val k = if (q.limit == 0) 100000 else q.limit
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
 
+    // broadcast the (query-bounded) scored set, NOT the corpus-sized docs
+    // table — at scale this turns the metadata join into a docs-scan-side
+    // hash lookup instead of shipping the doc store
     val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
-    var hits = scored.join(effectiveDocs.select($"doc_id", $"repo", $"path",
-      $"lang", $"content"), "doc_id")
+    var hits = broadcast(scored).join(
+      effectiveDocs.select($"doc_id", $"repo", $"path",
+        $"lang", $"content"), "doc_id")
 
     // filter precedence (tantivy_index_manager.py:642-678):
     // 1 lang-excl, 2 lang-incl, 3 path-excl, 4 path-incl.
