@@ -95,7 +95,15 @@ object FtsIndexBuilder {
           lit(null).cast("array<string>"))
       val extractIds = udf((content: String) =>
         Tokenizer.identifiers(content))
-      val w = Window.partitionBy($"shard").orderBy($"repo", $"path")
+      // chunk-granularity ingest carries line_start/line_end (several docs
+      // per path) — keep them and make the docId ordering deterministic
+      val chunked = source.columns.contains("line_start")
+      val orderCols =
+        if (chunked) Seq($"repo", $"path", $"line_start")
+        else Seq($"repo", $"path")
+      val extraCols =
+        if (chunked) Seq("line_start", "line_end") else Nil
+      val w = Window.partitionBy($"shard").orderBy(orderCols: _*)
       withIds
         .withColumn("shard",
           pmod(xxhash64($"repo", $"path"), lit(cfg.nShards)).cast("int"))
@@ -104,8 +112,8 @@ object FtsIndexBuilder {
             (row_number().over(w) - 1))
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("ids", coalesce($"identifiers", extractIds($"content")))
-        .select("doc_id", "shard", "repo", "path", "commit", "lang",
-          "sha256", "ids", "content")
+        .select((Seq("doc_id", "shard", "repo", "path", "commit", "lang",
+          "sha256", "ids", "content") ++ extraCols).map(col): _*)
         .write.mode("overwrite").partitionBy("shard").parquet(docsDir)
     }
     vDir

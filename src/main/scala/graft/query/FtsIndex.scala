@@ -84,7 +84,7 @@ class FtsIndex(spark: SparkSession, root: String) {
       .withColumn("gen", lit(0))
     deltaSub("docs").foldLeft(base) { (acc, p) =>
       acc.unionByName(spark.read.parquet(p).drop("shard")
-        .withColumn("shard", lit(-1)).select(acc.columns.map(col): _*))
+        .withColumn("shard", lit(-1)), allowMissingColumns = true)
     }
   }
 
@@ -262,9 +262,11 @@ class FtsIndex(spark: SparkSession, root: String) {
     // table — at scale this turns the metadata join into a docs-scan-side
     // hash lookup instead of shipping the doc store
     val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
+    val metaCols = Seq("doc_id", "repo", "path", "lang", "content") ++
+      (if (effectiveDocs.columns.contains("line_start")) Seq("line_start")
+       else Nil)
     var hits = broadcast(scored).join(
-      effectiveDocs.select($"doc_id", $"repo", $"path",
-        $"lang", $"content"), "doc_id")
+      effectiveDocs.select(metaCols.map(col): _*), "doc_id")
 
     // filter precedence (tantivy_index_manager.py:642-678):
     // 1 lang-excl, 2 lang-incl, 3 path-excl, 4 path-incl.
@@ -293,15 +295,22 @@ class FtsIndex(spark: SparkSession, root: String) {
       hits = hits.where(mu($"path"))
     }
 
+    // chunk-granularity docs carry a line_start offset (reference stores
+    // the chunk's line range and reports file-absolute lines)
+    val lineStartCol =
+      if (hits.columns.contains("line_start"))
+        coalesce(col("line_start"), lit(1))
+      else lit(1)
     val top = hits.orderBy(desc("score"), asc("doc_id")).limit(k)
-      .select($"doc_id", $"repo", $"path", $"lang", $"content", $"score")
-      .as[(Long, String, String, String, String, Double)]
+      .select($"doc_id", $"repo", $"path", $"lang", $"content", $"score",
+        lineStartCol.cast("int").as("ls"))
+      .as[(Long, String, String, String, String, Double, Int)]
 
     val qText = q.text
     val caseSens = q.caseSensitive
     val editDist = q.editDistance
     val useRegex = q.useRegex
-    top.map { case (docId, repo, path, lang, content, score) =>
+    top.map { case (docId, repo, path, lang, content, score, ls) =>
       val m =
         if (useRegex) {
           val flags = if (caseSens) 0 else java.util.regex.Pattern.CASE_INSENSITIVE
@@ -311,11 +320,11 @@ class FtsIndex(spark: SparkSession, root: String) {
       m match {
         case Some(mm) =>
           val e = Snippets.extractSnippet(content, mm.start, snippetLines)
-          SearchResult(docId, repo, path, e.line, e.column, mm.text,
-            e.snippet, e.snippetStartLine, lang, score)
+          SearchResult(docId, repo, path, e.line + ls - 1, e.column, mm.text,
+            e.snippet, e.snippetStartLine + ls - 1, lang, score)
         case None =>
-          SearchResult(docId, repo, path, 1, 1,
-            if (useRegex) qText else qText, "", 1, lang, score)
+          // reference fallback: the document's stored line_start
+          SearchResult(docId, repo, path, ls, 1, qText, "", ls, lang, score)
       }
     }
   }

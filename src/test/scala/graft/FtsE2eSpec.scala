@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Fixtures
+import graft.index.FtsIndexBuilder
+import graft.query.{FtsIndex, FtsQuery}
+
+/** E2E battery over corpus B — the reference's whole-file 3-repo corpus
+  * and query set (tests/e2e/test_fts_query_e2e.py, FIXTURES.md §3). */
+class FtsE2eSpec extends AnyFunSuite {
+
+  private lazy val index: FtsIndex = {
+    val spark = TestSpark.spark
+    val root = TestSpark.tempDir("e2e")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusB), root,
+      FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4,
+        codeAnalyzers = false))
+    new FtsIndex(spark, root).warm()
+  }
+
+  private def search(q: FtsQuery) = index.searchCollected(q)
+
+  test("basic query finds authenticate across files") {
+    val rs = search(FtsQuery("authenticate"))
+    assert(rs.nonEmpty)
+    assert(rs.exists(_.match_text.toLowerCase.contains("authenticate")))
+    assert(rs.exists(_.path == "auth.py"))
+  }
+
+  test("case-sensitive vs insensitive CONFIG") {
+    val ins = search(FtsQuery("CONFIG"))
+    val sens = search(FtsQuery("CONFIG", caseSensitive = true))
+    assert(ins.nonEmpty || sens.nonEmpty)
+    assert(sens.exists(_.path == "config.py")) // literal CONFIG_PATH
+  }
+
+  test("fuzzy finds authenticat typo") {
+    val rs = search(FtsQuery("authenticat", editDistance = 1))
+    assert(rs.nonEmpty && rs.exists(_.path == "auth.py"))
+  }
+
+  test("snippet_lines 0 / 3 / 10") {
+    val zero = search(FtsQuery("authenticate", snippetLines = 0))
+    val std = search(FtsQuery("authenticate", snippetLines = 3))
+    val ext = search(FtsQuery("authenticate", snippetLines = 10))
+    assert(zero.forall(_.snippet.isEmpty))
+    assert(std.exists(_.snippet.nonEmpty))
+    assert(ext.exists(_.snippet.nonEmpty))
+    // wider snippet covers at least as many lines
+    val s3 = std.head.snippet.count(_ == '\n')
+    val s10 = ext.head.snippet.count(_ == '\n')
+    assert(s10 >= s3)
+  }
+
+  test("language and path filters") {
+    val lang = search(FtsQuery("def", languages = Seq("python")))
+    assert(lang.nonEmpty && lang.forall(_.language == "python"))
+    val path = search(FtsQuery("CONFIG", pathFilters = Seq("config*")))
+    assert(path.forall(_.path.contains("config")))
+  }
+
+  test("limit parameter") {
+    assert(search(FtsQuery("def", limit = 2)).size <= 2)
+    assert(search(FtsQuery("def", limit = 10)).size <= 10)
+  }
+
+  test("combined filters") {
+    val rs = search(FtsQuery("def", languages = Seq("python"),
+      pathFilters = Seq("*.py")))
+    assert(rs.nonEmpty)
+    assert(rs.forall(r => r.language == "python" && r.path.endsWith(".py")))
+  }
+
+  test("domain terms resolve to the right files") {
+    assert(search(FtsQuery("validate_credentials")).exists(_.path == "auth.py"))
+    assert(search(FtsQuery("DATABASE_URL")).exists(_.path == "config.py"))
+    assert(search(FtsQuery("calculate_hash")).exists(_.path == "utils.py"))
+    assert(search(FtsQuery("isoformat")).exists(_.path == "utils.py"))
+    assert(search(FtsQuery("ValueError")).exists(_.path == "auth.py"))
+  }
+
+  test("result structure matches the reference row schema") {
+    val r = search(FtsQuery("authenticate")).head
+    assert(r.path.nonEmpty && r.line >= 1 && r.column >= 1)
+    assert(r.snippet_start_line >= 1 && r.language == "python" && r.score > 0)
+  }
+
+  test("warm repeated query is fast (cache contract)") {
+    search(FtsQuery("authenticate")) // warm
+    val t0 = System.nanoTime()
+    search(FtsQuery("authenticate"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 5000, s"warm query took $ms ms") // Spark-scale bound
+  }
+}
