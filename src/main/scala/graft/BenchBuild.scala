@@ -24,10 +24,13 @@ object BenchBuild {
     val sfDir = args(2)
     val repl = args(3).toInt
     val root = args(4)
+    // IDENTICAL logical plan at every parallelism level (same partition
+    // counts, sized for the 4N config) — a cluster comparison varies only
+    // the executor count, never the plan
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bb-$mode-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,7 +49,7 @@ object BenchBuild {
     }
 
     def cfg = graft.index.FtsIndexBuilder.Config(nShards = NShards,
-      segmentPartitions = math.max(2 * cores, 4), shardGroups = 1)
+      segmentPartitions = 16, shardGroups = 1)
 
     mode match {
       case "docs" =>
