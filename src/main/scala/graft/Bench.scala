@@ -135,7 +135,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "60").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "40").toInt
     // N vs 4N parallelism for the scaling-efficiency evidence (the brief's
     // "local[N] vs local[4N]" sandbox stand-in for N vs 4N executors).
     // Each measurement is a fresh forked JVM pinned with taskset +
@@ -150,7 +150,7 @@ object Bench {
     val n4 = 4 * coresPer
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "thread")
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
     val runsN = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
     val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
     (1 to iters).foreach { _ =>
