@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.query.{FtsIndex, FtsQuery, SearchResult}
+
+/** cidx-style entry point: build an index from a parquet ingest table and
+  * query it from the command line, with the reference CLI's result
+  * rendering (reference: cli.py:638-707 `_display_fts_results` — full mode
+  * `i. path (Line L, Col C)` + Language/Match/snippet, quiet mode
+  * `i. path:line:col`).
+  *
+  * Usage:
+  *   graft.FtsCli index <sourceParquet> <indexDir>
+  *   graft.FtsCli query <indexDir> <text> [--case-sensitive] [--fuzzy N]
+  *     [--regex] [--limit N] [--snippet-lines N] [--language L]...
+  *     [--exclude-language L]... [--path-filter G]... [--exclude-path G]...
+  *     [--wand] [--quiet]
+  */
+object FtsCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "index" :: source :: indexDir :: Nil =>
+      val report = graft.index.FtsIndexBuilder.build(
+        spark, spark.read.parquet(source), indexDir)
+      println(s"Indexed ${report.nDocs} documents into $indexDir " +
+        s"(${report.version}, shards built: ${report.shardsBuilt.size}, " +
+        s"skipped: ${report.shardsSkipped.size})")
+
+    case "query" :: indexDir :: text :: rest =>
+      var q = FtsQuery(text)
+      var quiet = false
+      var wand = false
+      def parse(as: List[String]): Unit = as match {
+        case Nil =>
+        case "--case-sensitive" :: t => q = q.copy(caseSensitive = true); parse(t)
+        case "--fuzzy" :: n :: t => q = q.copy(editDistance = n.toInt); parse(t)
+        case "--regex" :: t => q = q.copy(useRegex = true); parse(t)
+        case "--limit" :: n :: t => q = q.copy(limit = n.toInt); parse(t)
+        case "--snippet-lines" :: n :: t => q = q.copy(snippetLines = n.toInt); parse(t)
+        case "--language" :: l :: t => q = q.copy(languages = q.languages :+ l); parse(t)
+        case "--exclude-language" :: l :: t =>
+          q = q.copy(excludeLanguages = q.excludeLanguages :+ l); parse(t)
+        case "--path-filter" :: g :: t => q = q.copy(pathFilters = q.pathFilters :+ g); parse(t)
+        case "--exclude-path" :: g :: t =>
+          q = q.copy(excludePathFilters = q.excludePathFilters :+ g); parse(t)
+        case "--wand" :: t => wand = true; parse(t)
+        case "--quiet" :: t => quiet = true; parse(t)
+        case other :: _ => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+      parse(rest)
+      val idx = new FtsIndex(spark, indexDir).warm()
+      val results =
+        if (wand) idx.searchWand(q.text, q.limit, q.caseSensitive)
+        else idx.searchCollected(q)
+      render(results, quiet)
+
+    case _ =>
+      System.err.println("usage: FtsCli index <sourceParquet> <indexDir> | " +
+        "FtsCli query <indexDir> <text> [flags]")
+      sys.exit(2)
+  }
+
+  /** Reference display format (cli.py:638-707, minus terminal colors). */
+  private[graft] def render(results: Seq[SearchResult],
+                            quiet: Boolean): Unit = {
+    if (!quiet) println("Full-Text Search Results\n")
+    if (results.isEmpty) {
+      if (!quiet) println("No matches found")
+      return
+    }
+    results.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      if (quiet) println(s"$i. ${r.path}:${r.line}:${r.column}")
+      else {
+        println(s"$i. ${r.path} (Line ${r.line}, Col ${r.column})")
+        if (r.language.nonEmpty) println(s"   Language: ${r.language}")
+        if (r.match_text.nonEmpty) println(s"   Match: ${r.match_text}")
+        if (r.snippet.nonEmpty) {
+          println(s"   Snippet (from line ${r.snippet_start_line}):")
+          r.snippet.split("\n", -1).zipWithIndex.foreach { case (l, j) =>
+            println(f"   ${r.snippet_start_line + j}%5d | $l")
+          }
+        }
+        println(f"   Score: ${r.score}%.4f")
+        println()
+      }
+    }
+  }
+}
