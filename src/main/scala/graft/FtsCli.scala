@@ -63,8 +63,11 @@ object FtsCli {
       }
       parse(rest)
       val idx = new FtsIndex(spark, indexDir).warm()
+      // searchWand takes the FULL query and falls back to the exhaustive
+      // scorer for shapes it can't prune (fuzzy/regex/phrase, filters,
+      // deltas) — no flag is silently dropped
       val results =
-        if (wand) idx.searchWand(q.text, q.limit, q.caseSensitive)
+        if (wand) idx.searchWand(q)
         else idx.searchCollected(q)
       render(results, quiet)
 

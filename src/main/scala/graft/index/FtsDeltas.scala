@@ -47,10 +47,20 @@ object FtsDeltas {
       .reduceOption(_ max _).getOrElse(0) + 1
   }
 
-  /** Upsert a batch of (repo, path, commit, lang, content[, identifiers])
-    * rows: tombstone each key, add the new docs at a fresh generation. */
+  /** Upsert a batch of (repo, path, commit, lang, content[, identifiers]
+    * [, line_start, line_end]) rows: tombstone each key, add the new docs
+    * at a fresh generation.
+    *
+    * Doc-id assignment mirrors stageDocs' shard scheme inside the delta's
+    * own namespace: sub-shard = xxhash64(repo, path) mod nShards, row
+    * numbers assigned per sub-shard (a bulk upsert parallelizes across
+    * nShards window partitions instead of funneling through one task), and
+    * doc_id = (1000+gen) << 40 | subshard << 28 | rank — deterministic
+    * under any parallelism, disjoint from base shards and other gens. */
   def upsert(spark: SparkSession, batch: DataFrame, root: String,
              cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
+    require(cfg.nShards <= 4096,
+      s"delta doc-id namespace fits 4096 sub-shards, got ${cfg.nShards}")
     val vDir = currentDir(spark, root)
     val gen = nextGen(spark, vDir)
     val dDir = s"$vDir/deltas/d$gen"
@@ -59,16 +69,28 @@ object FtsDeltas {
       if (batch.columns.contains("identifiers")) batch
       else batch.withColumn("identifiers", lit(null).cast("array<string>"))
     val extractIds = udf((content: String) => Tokenizer.identifiers(content))
-    val w = Window.partitionBy(lit(1)).orderBy("repo", "path")
+    // chunk-granularity batches carry line_start/line_end — keep them (and
+    // make them part of the deterministic ordering), like stageDocs
+    val chunked = batch.columns.contains("line_start")
+    val orderCols =
+      if (chunked) Seq(col("repo"), col("path"), col("line_start"))
+      else Seq(col("repo"), col("path"))
+    val extraCols = if (chunked) Seq("line_start", "line_end") else Nil
+    val w = Window.partitionBy(col("subshard")).orderBy(orderCols: _*)
     val docs = withIds
+      .withColumn("subshard",
+        pmod(xxhash64(col("repo"), col("path")), lit(cfg.nShards)).cast("int"))
       .withColumn("shard", lit((GenBase + gen).toInt))
       .withColumn("doc_id",
-        lit((GenBase + gen) << 40) + (row_number().over(w) - 1))
+        lit((GenBase + gen) << 40) +
+          col("subshard").cast("long") * lit(1L << 28) +
+          (row_number().over(w) - 1))
       .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("ids", coalesce(col("identifiers"), extractIds(col("content"))))
       .withColumn("gen", lit(gen))
-      .select("doc_id", "shard", "repo", "path", "commit", "lang",
-        "sha256", "ids", "content", "gen")
+      .select(("doc_id" +: "shard" +: "repo" +: "path" +: "commit" +:
+        "lang" +: "sha256" +: "ids" +: "content" +: "gen" +: extraCols)
+        .map(col): _*)
     docs.write.mode("overwrite").parquet(s"$dDir/docs")
 
     val written = spark.read.parquet(s"$dDir/docs")
@@ -117,9 +139,13 @@ object FtsDeltas {
   def compact(spark: SparkSession, root: String,
               cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Unit = {
     val idx = new graft.query.FtsIndex(spark, root)
+    val lineCols =
+      if (idx.effectiveDocs.columns.contains("line_start"))
+        Seq(col("line_start"), col("line_end"))
+      else Nil
     val live = idx.effectiveDocs
-      .select(col("repo"), col("path"), col("commit"), col("lang"),
-        col("content"), col("ids").as("identifiers"))
+      .select(col("repo") +: col("path") +: col("commit") +: col("lang") +:
+        col("content") +: col("ids").as("identifiers") +: lineCols: _*)
     FtsIndexBuilder.build(spark, live, root, cfg)
   }
 }

