@@ -18,8 +18,8 @@ object GraftFunctions {
     spark.udf.register("graft_damerau",
       (a: String, b: String, max: Int) =>
         Distance.damerauBounded(a, b, max))
-    spark.udf.register("graft_simhash64",
-      (s: String) => graft.ops.Dedup.simhash64(
+    spark.udf.register("graft_simhash60",
+      (s: String) => graft.ops.Dedup.simhash60(
         graft.analysis.Tokenizer.tokenize(s)))
     spark.udf.register("graft_hamming",
       (a: Long, b: Long) => graft.ops.Dedup.hamming(a, b))

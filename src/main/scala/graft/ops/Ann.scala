@@ -115,18 +115,25 @@ object Ann {
   }
 
   /** IVF probe: deterministic centroids (vec_id < nCells), assign all
-    * vectors to the nearest centroid, probe the query's nProbe cells. */
+    * vectors to the nearest centroid, probe the query's nProbe cells.
+    *
+    * Assignment is a single min_by hash aggregate over the N x nCells
+    * scored rows (map-side partials, no sort) — NOT a row_number window,
+    * which would shuffle-and-sort all N x nCells rows by vec_id. Ties
+    * break on the lower cell id via the (csim desc, cell asc) struct
+    * ordering, matching the DuckDB oracle. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = emb.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(desc("csim"), asc("cell"))
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("ce")).as("csim"))
-      .withColumn("r", row_number().over(assignW))
-      .where(col("r") === 1).drop("r", "csim")
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("embedding")),
+        struct(negate(col("csim")), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.embedding").as("embedding"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(desc("csim"), asc("cell"))
     val probes = emb.where(col("vec_id") < nQueries)

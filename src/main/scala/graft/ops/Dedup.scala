@@ -12,6 +12,13 @@ object PortableHash {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   def hash64Sql(expr: String): String =
     s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"
+  /** Scala-side twin of [[hash64]]: same md5 -> 60-bit long. */
+  def hash64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }
 
 /** Large-scale deduplication operators over a `documents(doc_id, text)`
@@ -107,52 +114,75 @@ object Dedup {
           .as("jaccard"))
   }
 
-  // ---- SimHash64 (engine-only, bit ops; ScalaTest-covered) --------------
+  // ---- SimHash (portable 60-bit; DuckDB-oracled) -------------------------
 
-  /** 64-bit SimHash of a token multiset (Charikar): per token, md5-derived
-    * 64 bits vote +-tf on each position; sign -> bit. */
-  def simhash64(tokens: Seq[String]): Long = {
-    val votes = new Array[Long](64)
+  final val SimhashBits = 60
+
+  /** 60-bit SimHash of a token multiset (Charikar): per distinct token,
+    * the portable 60-bit md5 hash ([[PortableHash.hash64Local]]) votes
+    * +-tf on each bit position; sign -> bit. 60 bits (not 64) so the value
+    * and every intermediate stay inside a signed BIGINT — the DuckDB
+    * oracle reproduces it exactly. */
+  def simhash60(tokens: Seq[String]): Long = {
+    val votes = new Array[Long](SimhashBits)
     tokens.groupBy(identity).foreach { case (t, occs) =>
       val tf = occs.size.toLong
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
-      val bits = java.nio.ByteBuffer.wrap(d).getLong(0)
+      val bits = hash64Local(t)
       var i = 0
-      while (i < 64) {
+      while (i < SimhashBits) {
         if (((bits >>> i) & 1L) == 1L) votes(i) += tf else votes(i) -= tf
         i += 1
       }
     }
     var out = 0L
     var i = 0
-    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    while (i < SimhashBits) { if (votes(i) > 0) out |= (1L << i); i += 1 }
     out
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup pairs: hamming(simhash) <= maxDist, candidates
-    * bucketed by 16-bit quarters (a pair within distance 3 must agree on
-    * at least one quarter — pigeonhole). */
+  /** (bitOffset, width) partition of the 60 bits into maxDist+1 bands —
+    * by pigeonhole, two hashes within hamming distance maxDist agree
+    * exactly on at least one band. Shared by the Spark operator and the
+    * generated DuckDB oracle SQL. */
+  def bandSpec(maxDist: Int): Seq[(Int, Int)] = {
+    val n = maxDist + 1
+    val base = SimhashBits / n
+    val extra = SimhashBits % n
+    var off = 0
+    (0 until n).map { i =>
+      val w = base + (if (i < extra) 1 else 0)
+      val t = (off, w); off += w; t
+    }
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash) <= maxDist. Candidate
+    * generation buckets on [[bandSpec]] bands, so recall is guaranteed for
+    * ANY maxDist < 60 (round-1's fixed 16-bit quarters were only valid for
+    * maxDist <= 3). The equi-join on (band, band-value) replaces the
+    * all-pairs cross product; the hamming check is codegen'd
+    * bit_count(xor). Scale knob: tighter maxDist => fewer, wider bands =>
+    * exponentially more selective buckets. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val s = org.apache.spark.sql.SparkSession.active
-    import s.implicits._
+    require(maxDist >= 0 && maxDist < SimhashBits,
+      s"maxDist must be in [0, ${SimhashBits - 1}], got $maxDist")
     val sim = udf((text: String) =>
-      simhash64(graft.analysis.Tokenizer.tokenize(text)))
+      simhash60(graft.analysis.Tokenizer.tokenize(text)))
     val withSim = docs.select(col("doc_id"), sim(col("text")).as("sh"))
-    val quarters = withSim.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(qi =>
-        struct(lit(qi).as("q"),
-          shiftrightunsigned(col("sh"), qi * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)).as("quarter"))
-      .select(col("doc_id"), col("sh"),
-        col("quarter.q"), col("quarter.qv"))
-    val l = quarters.toDF("a", "sha", "q", "qv")
-    val r = quarters.toDF("b", "shb", "q", "qv")
-    val ham = udf((x: Long, y: Long) => hamming(x, y))
+    val bandCols = bandSpec(maxDist).zipWithIndex.map { case ((off, w), bi) =>
+      struct(lit(bi).as("q"),
+        shiftrightunsigned(col("sh"), off)
+          .bitwiseAND(lit((1L << w) - 1)).as("qv"))
+    }
+    val bands = withSim.select(col("doc_id"), col("sh"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("sh"), col("band.q"), col("band.qv"))
+    val l = bands.toDF("a", "sha", "q", "qv")
+    val r = bands.toDF("b", "shb", "q", "qv")
     l.join(r, Seq("q", "qv")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), ham(col("sha"), col("shb")).as("dist"))
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
   }

@@ -21,18 +21,14 @@ object OpsQueries {
       Dedup.jaccard(dd, Dedup.lshCandidatePairs(dd))
     }),
     "dd_simhash_neardups" -> ((s, d) =>
-      // engine-only (bit-level simhash not SQL-expressible): rows-only check
-      Dedup.simhashNearDups(docs(s, d), maxDist = 18)
-        .orderBy("a", "b").limit(1000)),
+      Dedup.simhashNearDups(docs(s, d), maxDist = 3)),
     "ta_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
     "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 5)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(emb(s, d), 5, 5)),
-    "ann_ivf_topk" -> ((s, d) =>
-      // engine-only scale path; correctness vs brute force in ScalaTest
-      Ann.ivfTopK(emb(s, d), 5, 5)),
+    "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(emb(s, d), 5, 5)),
     "mm_features" -> ((s, d) => {
       // multimodal plumbing smoke (stubbed decode kernels; rows-only check)
       val st = s
@@ -99,7 +95,77 @@ object OpsOracle {
       s"(CASE WHEN list_dot_product(de, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB twin of [[Dedup.simhashNearDups]]: same 60-bit simhash (the
+    * portable md5 hash votes +-tf per bit), same [[Dedup.bandSpec]]
+    * banding, hamming via bit_count(xor). */
+  private def simhashSql(maxDist: Int): String = {
+    val bands = Dedup.bandSpec(maxDist).zipWithIndex.map { case ((off, w), bi) =>
+      s"SELECT doc_id, sh, $bi AS q, (sh >> $off) & ${(1L << w) - 1} AS qv FROM sh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS t FROM documents
+       |),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (${h64("t")} >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+       |  FROM tf CROSS JOIN (SELECT unnest(range(0, ${Dedup.SimhashBits})) AS i)
+       |  GROUP BY 1, 2
+       |),
+       |shx AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+       |  FROM votes GROUP BY 1
+       |),
+       |sh AS (
+       |  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN shx s USING (doc_id)
+       |),
+       |bands AS (
+       |  $bands
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS dist
+       |FROM bands l JOIN bands r ON l.q = r.q AND l.qv = r.qv
+       |  AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.sh, r.sh)) <= $maxDist""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "dd_simhash_neardups" -> simhashSql(3),
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cell, de AS ce FROM e WHERE vec_id < 16),
+         |a AS (
+         |  SELECT vec_id, de, cell FROM (
+         |    SELECT e.vec_id, e.de, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.de", "c.ce")} DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1
+         |),
+         |p AS (
+         |  SELECT query_id, qe, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.de AS qe, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.de", "c.ce")} DESC, c.cell) AS rn
+         |    FROM e q CROSS JOIN c WHERE q.vec_id < 5
+         |  ) WHERE rn <= 4
+         |),
+         |scored AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("p.qe", "a.de")}, 4) AS sim
+         |  FROM p JOIN a USING (cell) WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored
+         |) WHERE rank <= 5""".stripMargin,
+
     "dd_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY 1)

@@ -17,8 +17,8 @@ class FunctionsSpec extends AnyFunSuite {
         |       graft_damerau('glob', 'gloc', 1) AS d,
         |       graft_glob_match('src/tests/a.py', '*/tests/*') AS g,
         |       round(graft_bm25(2.0, 3, 90, 500, 100.0), 4) AS s,
-        |       graft_hamming(graft_simhash64('a b c'),
-        |                     graft_simhash64('a b c')) AS h
+        |       graft_hamming(graft_simhash60('a b c'),
+        |                     graft_simhash60('a b c')) AS h
         |""".stripMargin).collect()(0)
     assert(row.getSeq[String](0) === Seq("def", "login", "user", "x"))
     assert(row.getInt(1) === 1)

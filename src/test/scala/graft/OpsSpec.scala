@@ -55,13 +55,33 @@ class OpsSpec extends AnyFunSuite {
     assert(nd.exists(p => p._1 == 0L && p._2 == 9001L)) // near dup close in hamming
   }
 
-  test("simhash64 is deterministic and locality-sensitive") {
-    val a = Dedup.simhash64(Seq("alpha", "beta", "gamma", "delta"))
-    val b = Dedup.simhash64(Seq("alpha", "beta", "gamma", "delta"))
-    val c = Dedup.simhash64(Seq("alpha", "beta", "gamma", "epsilon"))
-    val d = Dedup.simhash64(Seq("zeta", "eta", "theta", "iota"))
+  test("simhash60 is deterministic and locality-sensitive") {
+    val a = Dedup.simhash60(Seq("alpha", "beta", "gamma", "delta"))
+    val b = Dedup.simhash60(Seq("alpha", "beta", "gamma", "delta"))
+    val c = Dedup.simhash60(Seq("alpha", "beta", "gamma", "epsilon"))
+    val d = Dedup.simhash60(Seq("zeta", "eta", "theta", "iota"))
     assert(a === b)
     assert(Dedup.hamming(a, c) < Dedup.hamming(a, d))
+  }
+
+  test("simhash banding has exact recall vs brute force (several maxDist)") {
+    val s = spark
+    import s.implicits._
+    val sample = docs.limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val hashes = sample.map { case (id, t) =>
+      id -> Dedup.simhash60(graft.analysis.Tokenizer.tokenize(t))
+    }
+    val sampleDf = sample.toDF("doc_id", "text")
+    for (maxDist <- Seq(0, 3, 11, 19)) {
+      val brute = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        d = Dedup.hamming(ha, hb) if d <= maxDist
+      } yield (a, b, d)).toSet
+      val banded = Dedup.simhashNearDups(sampleDf, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === brute, s"maxDist=$maxDist")
+    }
   }
 
   test("IVF top-k achieves high recall vs brute force") {
