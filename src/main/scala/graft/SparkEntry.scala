@@ -37,6 +37,8 @@ object SparkEntry {
     "fts_engine_single" -> Queries.engineSingle,
     "fts_engine_and" -> Queries.engineAnd,
     "fts_engine_wand" -> Queries.engineWand,
+    "fts_engine_prod_single" -> Queries.engineProdSingle,
+    "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
 
   def oracleSql: Map[String, String] =
@@ -156,6 +158,45 @@ object Queries {
   val engineAnd: (SparkSession, String) => DataFrame = (s, dir) =>
     engineTopK(s, dir, "merge sort")
 
+  // ---- PRODUCTION-config engine (identifiers extracted from content,
+  // codeAnalyzers on, content_raw indexed) — the config a real deployment
+  // runs, now DuckDB-verified end to end (round-1 verdict gap #4) --------
+
+  private val engineProdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FtsIndex]()
+
+  private def engineProdIndex(s: SparkSession, dir: String): FtsIndex =
+    engineProdCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fts_verify_prod").toString
+      // NO identifiers column: stageDocs extracts them from content, the
+      // identifiers field gets camel/snake sub-tokens (codeAnalyzers)
+      FtsIndexBuilder.build(s, corpusDf(s, dir), root,
+        FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 8))
+      new FtsIndex(s, root).warm()
+    })
+
+  private def engineProdTopK(s: SparkSession, dir: String,
+                             text: String): DataFrame = {
+    engineProdIndex(s, dir)
+      .search(FtsQuery(text, snippetLines = 0, limit = 10))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Single term scored over content + identifiers fields (OR across
+    * fields, scores summed). */
+  val engineProdSingle: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineProdTopK(s, dir, "merge")
+
+  /** A word that tokenizes to several tokens becomes a positional phrase
+    * on both fields ("import_os" -> ["import","os"]) — exercises the
+    * position lists end to end. */
+  val engineProdPhrase: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineProdTopK(s, dir, "import_os")
+
   /** Same query through the block-max WAND scorer — the pruned path must
     * be DuckDB-identical to the exhaustive SQL. */
   val engineWand: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -208,7 +249,160 @@ object OracleQueries {
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** DuckDB twin of the PRODUCTION identifiers field: identifiers
+    * extracted from content (first-occurrence dedup order preserved via
+    * min-occurrence), tokenized raw per id, lowercased base stream with
+    * consecutive positions, camel/snake sub-tokens appended (position
+    * gaps make them adjacency-inert, so only the base stream carries
+    * phrase positions — mirrors Tokenizer.identifierFieldTokens). */
+  private val camelSplitSql =
+    """regexp_replace(regexp_replace(rt,
+      |          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+      |          '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')""".stripMargin
+
+  private val identCtes: String =
+    s"""idlist AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(content, '[a-zA-Z_][a-zA-Z0-9_]*') AS ids0
+       |  FROM corpus
+       |),
+       |idocc AS (
+       |  SELECT doc_id, i AS occ, ids0[CAST(i + 1 AS INTEGER)] AS id
+       |  FROM (SELECT doc_id, ids0, unnest(range(0, len(ids0))) AS i
+       |        FROM idlist)
+       |),
+       |idfirst AS (
+       |  SELECT doc_id, id, min(occ) AS firstocc FROM idocc GROUP BY 1, 2
+       |),
+       |rawtok AS (
+       |  SELECT doc_id, firstocc, j, toks[CAST(j + 1 AS INTEGER)] AS rt
+       |  FROM (
+       |    SELECT doc_id, firstocc, toks, unnest(range(0, len(toks))) AS j
+       |    FROM (SELECT doc_id, firstocc,
+       |            list_filter(regexp_split_to_array(id, '[^a-zA-Z0-9]+'),
+       |              x -> x <> '' AND length(x) <= 40) AS toks
+       |          FROM idfirst)
+       |  )
+       |),
+       |basestream AS (
+       |  SELECT doc_id, lower(rt) AS term, rt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY firstocc, j) - 1 AS pos
+       |  FROM rawtok
+       |),
+       |subs AS (
+       |  SELECT doc_id, unnest(parts) AS term FROM (
+       |    SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower($camelSplitSql), ' '),
+       |        x -> x <> '' AND length(x) <= 40) AS parts,
+       |      len(regexp_split_to_array($camelSplitSql, ' ')) AS nparts
+       |    FROM basestream
+       |  ) WHERE nparts > 1
+       |),
+       |istream AS (
+       |  SELECT doc_id, term FROM basestream
+       |  UNION ALL SELECT doc_id, term FROM subs
+       |),
+       |ipost AS (SELECT doc_id, term, count(*) AS tf FROM istream GROUP BY 1, 2),
+       |idl AS (SELECT doc_id, count(*) AS dl FROM istream GROUP BY 1),
+       |idfr AS (SELECT term, count(*) AS df FROM ipost GROUP BY 1),
+       |istats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n_docs FROM stats) AS avgdl
+       |  FROM idl
+       |)""".stripMargin
+
+  /** content-BM25 + identifiers-BM25 for one exact term, summed per doc
+    * (OR across fields), unrounded ordering, top-k. */
+  private def prodSingleSql(term: String, k: Int): String =
+    s"""$base,
+       |$identCtes,
+       |cs AS (
+       |  SELECT p.doc_id,
+       |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |      * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+       |  FROM postings p
+       |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+       |  JOIN doclen l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  WHERE p.term = '$term'
+       |),
+       |isr AS (
+       |  SELECT ip.doc_id,
+       |    ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+       |      * ip.tf * 2.2 / (ip.tf + 1.2 * (0.25 + 0.75 * il.dl / ist.avgdl)) AS sc
+       |  FROM ipost ip
+       |  JOIN idfr f USING (term)
+       |  JOIN idl il USING (doc_id)
+       |  CROSS JOIN stats s CROSS JOIN istats ist
+       |  WHERE ip.term = '$term'
+       |)
+       |SELECT doc_id, round(sc, 4) AS score FROM (
+       |  SELECT doc_id, coalesce(cs.sc, 0) + coalesce(isr.sc, 0) AS sc
+       |  FROM cs FULL OUTER JOIN isr USING (doc_id)
+       |) ORDER BY sc DESC, doc_id
+       |LIMIT $k""".stripMargin
+
+  /** Positional phrase (t1 adjacent-then t2) on content + identifiers:
+    * tf = phrase frequency, idf = sum of constituent idfs. */
+  private def prodPhraseSql(t1: String, t2: String, k: Int): String =
+    s"""$base,
+       |$identCtes,
+       |ctoksp AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(content), '[^\\p{L}\\p{N}]+'),
+       |    x -> x <> '' AND length(x) <= 40) AS toks
+       |  FROM corpus
+       |),
+       |cdf AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |cph AS (
+       |  SELECT doc_id,
+       |    len(list_filter(range(0, greatest(len(toks) - 1, 0)),
+       |      i -> toks[CAST(i + 1 AS INTEGER)] = '$t1'
+       |       AND toks[CAST(i + 2 AS INTEGER)] = '$t2')) AS pf,
+       |    len(toks) AS dl
+       |  FROM ctoksp
+       |),
+       |cs AS (
+       |  SELECT c.doc_id,
+       |    (d1.idf + d2.idf) * c.pf * 2.2 /
+       |      (c.pf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)) AS sc
+       |  FROM cph c
+       |  CROSS JOIN stats s
+       |  CROSS JOIN (SELECT ln(1 + (s2.n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |              FROM cdf, stats s2 WHERE term = '$t1') d1
+       |  CROSS JOIN (SELECT ln(1 + (s3.n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |              FROM cdf, stats s3 WHERE term = '$t2') d2
+       |  WHERE c.pf > 0
+       |),
+       |iph AS (
+       |  SELECT a.doc_id, count(*) AS pf
+       |  FROM basestream a JOIN basestream b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.term = '$t1' AND b.term = '$t2'
+       |  GROUP BY 1
+       |),
+       |isr AS (
+       |  SELECT i.doc_id,
+       |    (d1.idf + d2.idf) * i.pf * 2.2 /
+       |      (i.pf + 1.2 * (0.25 + 0.75 * il.dl / ist.avgdl)) AS sc
+       |  FROM iph i
+       |  JOIN idl il USING (doc_id)
+       |  CROSS JOIN istats ist
+       |  CROSS JOIN (SELECT ln(1 + (s2.n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |              FROM idfr, stats s2 WHERE term = '$t1') d1
+       |  CROSS JOIN (SELECT ln(1 + (s3.n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |              FROM idfr, stats s3 WHERE term = '$t2') d2
+       |  WHERE i.pf > 0
+       |)
+       |SELECT doc_id, round(sc, 4) AS score FROM (
+       |  SELECT doc_id, coalesce(cs.sc, 0) + coalesce(isr.sc, 0) AS sc
+       |  FROM cs FULL OUTER JOIN isr USING (doc_id)
+       |) ORDER BY sc DESC, doc_id
+       |LIMIT $k""".stripMargin
+
   val all: Map[String, String] = Map(
+    "fts_engine_prod_single" -> prodSingleSql("merge", 10),
+    "fts_engine_prod_phrase" -> prodPhraseSql("import", "os", 10),
+
     "fts_corpus" ->
       s"""$base
          |SELECT doc_id, repo, path, "commit", lang, content,
