@@ -29,6 +29,7 @@ object SparkEntry {
     "fts_doclen" -> Queries.docLen,
     "fts_corpus_stats" -> Queries.corpusStats,
     "fts_ident_tokens" -> Queries.identTokens,
+    "fts_ident_ngrams" -> Queries.identNgrams,
     "fts_bm25_single" -> Queries.bm25Single,
     "fts_bm25_and" -> Queries.bm25And,
     "fts_bm25_lang" -> Queries.bm25Lang,
@@ -76,6 +77,9 @@ object Queries {
 
   val identTokens: (SparkSession, String) => DataFrame = (s, dir) =>
     IndexBuilder.identifierTokens(corpusDf(s, dir))
+
+  val identNgrams: (SparkSession, String) => DataFrame = (s, dir) =>
+    IndexBuilder.identifierNgramStats(corpusDf(s, dir))
 
   private def search(s: SparkSession, dir: String, terms: Seq[String],
                      k: Int): DataFrame = {
@@ -440,6 +444,33 @@ object OracleQueries {
          |    FROM corpus
          |  )
          |)""".stripMargin,
+
+    "fts_ident_ngrams" ->
+      s"""WITH ${CodeCorpus.corpusCteSql},
+         |identterms AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      list_concat([lower(id)],
+         |        regexp_split_to_array(lower(
+         |          regexp_replace(regexp_replace(id,
+         |            '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+         |            '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')),
+         |          '[_ ]+')),
+         |      x -> x <> '' AND length(x) <= 40)) AS term
+         |    FROM (
+         |      SELECT doc_id,
+         |             unnest(regexp_extract_all(content, '[a-zA-Z_][a-zA-Z0-9_]*')) AS id
+         |      FROM corpus
+         |    )
+         |  )
+         |),
+         |ng AS (
+         |  SELECT DISTINCT doc_id, substring(term, 1, CAST(i AS INTEGER)) AS ng
+         |  FROM (SELECT doc_id, term,
+         |          unnest(range(3, least(8, length(term) - 1) + 1)) AS i
+         |        FROM identterms WHERE length(term) >= 4)
+         |)
+         |SELECT ng AS term, count(*) AS df FROM ng GROUP BY 1""".stripMargin,
 
     "fts_bm25_single" -> bm25TopK("'merge'", 1, 10),
 

@@ -45,6 +45,9 @@ object FtsIndexBuilder {
       codeAnalyzers: Boolean = true,
       /** index the case-preserving content_raw field. */
       indexRawField: Boolean = true,
+      /** prefix-n-gram lane (lengths 3-8) on the identifiers field for
+        * code-completion-style prefix lookup (north-star analyzer). */
+      prefixNgrams: Boolean = false,
       /** shard-group batching: shards stay the manifest/resume unit, but
         * each group of ceil(nShards/shardGroups) shards builds in ONE job
         * chain. Keep the value stable across resume runs of one build. */
@@ -221,6 +224,7 @@ object FtsIndexBuilder {
     import docs.sparkSession.implicits._
     val indexRaw = cfg.indexRawField
     val codeAn = cfg.codeAnalyzers
+    val ngrams = cfg.prefixNgrams
 
     def combine(sh: Int, field: String, id: Long, dl: Long,
                 toks: Iterator[(String, Int)])
@@ -253,7 +257,7 @@ object FtsIndexBuilder {
         val r = if (indexRaw)
           combine(sh, FieldRaw, id, dl, raw.iterator.zipWithIndex)
         else Iterator.empty
-        val identToks = Tokenizer.identifierFieldTokens(ids, codeAn)
+        val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
         val i = combine(sh, FieldIdent, id, identToks.size.toLong,
           identToks.iterator)
         c ++ r ++ i

@@ -67,6 +67,19 @@ object IndexBuilder {
       .distinct()
   }
 
+  /** Prefix n-grams (lengths 3-8, proper prefixes only) of the deduped
+    * identifier terms, with document frequency — the pipeline-level view
+    * of the identifier-n-gram analyzer lane
+    * ([[graft.analysis.Tokenizer.identifierFieldTokens]]). */
+  def identifierNgramStats(corpus: DataFrame): DataFrame =
+    identifierTokens(corpus)
+      .where(length(col("term")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(3, least(8, length(term) - 1))," +
+          " i -> substring(term, 1, i))")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Posting relation: (term, doc_id, tf). Hash aggregation; Catalyst
     * inserts the map-side partial aggregate before the shuffle on
     * (term, doc_id), which is exactly the per-partition posting build the

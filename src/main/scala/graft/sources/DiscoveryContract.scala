@@ -78,6 +78,20 @@ object DiscoveryQueries {
         .where(col("rank") <= 3)
         .select("repo", "rank", "doc_id", "score")
     }),
+
+    // per-repo aggregate with the reference's min_score-before-limit
+    // semantics (multi_result_aggregator.py:50-59)
+    "repo_topk_minscore" -> ((s, d) => {
+      val c = corpus(s, d)
+      val toks = IndexBuilder.tokens(c)
+      val scored = IndexBuilder.searchAnd(
+        IndexBuilder.postings(toks), IndexBuilder.docLens(toks),
+        Seq("merge"), Int.MaxValue)
+      graft.query.MultiRepo.aggregate(
+        scored.join(c.select("doc_id", "repo"), "doc_id"),
+        limit = 3, minScore = Some(0.42))
+        .select("repo", "rank", "doc_id", "score")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -168,6 +182,37 @@ object DiscoveryQueries {
            |    row_number() OVER (PARTITION BY c.repo
            |      ORDER BY sc.score DESC, sc.doc_id) AS rank
            |  FROM scored sc JOIN corpus c USING (doc_id)
+           |) WHERE rank <= 3""".stripMargin,
+
+      "repo_topk_minscore" ->
+        s"""WITH $base,
+           |tokens AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(content), '[^\\p{L}\\p{N}]+'),
+           |    x -> x <> '' AND length(x) <= 40)) AS term
+           |  FROM corpus
+           |),
+           |postings AS (SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY 1, 2),
+           |doclen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+           |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           |        * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS score
+           |  FROM postings p
+           |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+           |  JOIN doclen l USING (doc_id)
+           |  CROSS JOIN stats s
+           |  WHERE p.term IN ('merge')
+           |  GROUP BY 1
+           |)
+           |SELECT repo, CAST(rank AS INTEGER) AS rank, doc_id, score
+           |FROM (
+           |  SELECT c.repo, sc.doc_id, sc.score,
+           |    row_number() OVER (PARTITION BY c.repo
+           |      ORDER BY sc.score DESC, sc.doc_id) AS rank
+           |  FROM scored sc JOIN corpus c USING (doc_id)
+           |  WHERE sc.score >= 0.42
            |) WHERE rank <= 3""".stripMargin,
     )
   }

@@ -147,6 +147,20 @@ class FtsRound2Spec extends AnyFunSuite {
     assert(rs2.map(_.path) === Seq("src/xylo.py"))
   }
 
+  test("prefix-ngram lane: engine resolves prefix queries via the " +
+       "identifiers field; off by default") {
+    val root = TestSpark.tempDir("r2ng")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusA), root,
+      cfg.copy(prefixNgrams = true))
+    val rs = new FtsIndex(spark, root)
+      .searchCollected(FtsQuery("authent")) // prefix of "authenticate"
+    assert(rs.nonEmpty)
+    val root2 = TestSpark.tempDir("r2ng0")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusA), root2, cfg)
+    assert(new FtsIndex(spark, root2)
+      .searchCollected(FtsQuery("authent")).isEmpty)
+  }
+
   test("bulk upsert: sharded, deterministic doc-id assignment") {
     val batch = (1 to 40).map(i => Fixtures.Doc("test_repo", s"bulk/f_$i.py",
       i.toString * 40, "python", s"def bulk_$i(): return $i", Nil))
