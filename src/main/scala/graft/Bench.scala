@@ -51,6 +51,10 @@ object Bench {
     val cmd = Seq("taskset", "-c", cpus.mkString(",")) ++
       Seq(javaBin) ++ inherited ++ Seq(
         s"-XX:ActiveProcessorCount=${cpus.size}", "-Xmx8g",
+        // throughput collector for batch builds (what a production batch
+        // executor would run); measured slightly better 4x-concurrency
+        // behavior than G1 on this host
+        "-XX:+UseParallelGC",
         s"-Djava.io.tmpdir=$scratch", s"-Dspark.local.dir=$scratch",
         "-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchBuild") ++ args
     new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
@@ -135,7 +139,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "40").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "80").toInt
     // N vs 4N parallelism for the scaling-efficiency evidence (the brief's
     // "local[N] vs local[4N]" sandbox stand-in for N vs 4N executors).
     // Each measurement is a fresh forked JVM pinned with taskset +

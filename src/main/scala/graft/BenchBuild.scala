@@ -48,8 +48,10 @@ object BenchBuild {
           col("commit"), col("lang"), col("content"))
     }
 
+    // 32 segment partitions at EVERY parallelism level (identical plan;
+    // finer partitions keep the 8-core config's final wave balanced)
     def cfg = graft.index.FtsIndexBuilder.Config(nShards = NShards,
-      segmentPartitions = 16, shardGroups = 1)
+      segmentPartitions = 32, shardGroups = 1)
 
     mode match {
       case "docs" =>
@@ -90,6 +92,14 @@ object BenchBuild {
           .stageFinalize(spark, root, vDir, cfg)
         println(s"FINAL docs=$n sec=${(System.nanoTime() - t0) / 1e9}")
       case "full" =>
+        // untimed JIT/codegen warmup, like the staged modes (cluster
+        // executors are long-lived; cold-JVM seconds are a constant that
+        // would otherwise dominate the ratio at every data size)
+        val wroot = java.nio.file.Files
+          .createTempDirectory("graft_bb_wfull").toString
+        graft.index.FtsIndexBuilder.build(spark, corpus(1).limit(500), wroot,
+          graft.index.FtsIndexBuilder.Config(nShards = 2,
+            segmentPartitions = 4, shardGroups = 2))
         val t0 = System.nanoTime()
         val report = graft.index.FtsIndexBuilder
           .build(spark, corpus(repl), root, cfg)

@@ -115,9 +115,25 @@ object FtsIndexBuilder {
             (row_number().over(w) - 1))
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("ids", coalesce($"identifiers", extractIds($"content")))
+        .withColumn("clen", length($"content"))
         .select((Seq("doc_id", "shard", "repo", "path", "commit", "lang",
-          "sha256", "ids", "content") ++ extraCols).map(col): _*)
+          "sha256", "ids", "content", "clen") ++ extraCols).map(col): _*)
         .write.mode("overwrite").partitionBy("shard").parquet(docsDir)
+    }
+    // per-shard ingest stats (lineage inputs), computed ONCE here instead
+    // of once per shard group — and from SMALL columns only (clen is
+    // materialized at write time so content is never re-read)
+    val dsDir = s"$vDir/docstats"
+    if (!hfs.exists(new Path(dsDir, "_SUCCESS"))) {
+      val d = spark.read.parquet(docsDir)
+      val lenCol = if (d.columns.contains("clen")) $"clen"
+                   else length($"content")
+      d.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(crc32($"sha256")).as("input_sha"),
+          sum(lenCol).as("bytes_docs"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dsDir)
     }
     vDir
   }
@@ -159,7 +175,8 @@ object FtsIndexBuilder {
     val hfs = fs(spark, root)
     val version = vDir.split('/').last
     val nDocs = phase("docs count")(
-      spark.read.parquet(s"$vDir/docs").count())
+      spark.read.parquet(s"$vDir/docstats")
+        .agg(sum("n_docs")).collect()(0).getLong(0))
     val tFin = System.nanoTime()
     spark.read.parquet(s"$vDir/segments/*")
       .groupBy("field", "term")
@@ -209,6 +226,172 @@ object FtsIndexBuilder {
     }
   }
 
+  /** Open-addressing (term -> PostingAcc) map looked up by a char buffer,
+    * so a REPEATED token in a document allocates nothing: the term String
+    * is interned once on first occurrence, later occurrences only probe.
+    * (The round-1 path allocated a substring + a lowercased copy + two
+    * tuples per token occurrence — the allocation rate was the measured
+    * scaling-efficiency ceiling, see BENCH/BASELINE.md §3.) */
+  private final class TermMap(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var hashes = new Array[Int](cap)
+    private var terms = new Array[String](cap)
+    private var accs = new Array[PostingAcc](cap)
+    private var n = 0
+
+    @inline private def eqBuf(t: String, buf: Array[Char], len: Int): Boolean = {
+      if (t.length != len) return false
+      var i = 0
+      while (i < len) { if (t.charAt(i) != buf(i)) return false; i += 1 }
+      true
+    }
+
+    def getOrInsert(buf: Array[Char], len: Int, hash: Int): PostingAcc = {
+      var i = hash & mask
+      while (true) {
+        val acc = accs(i)
+        if (acc == null) {
+          val a = new PostingAcc
+          hashes(i) = hash; terms(i) = new String(buf, 0, len); accs(i) = a
+          n += 1
+          if (n * 4 > cap * 3) grow()
+          return a
+        } else if (hashes(i) == hash && eqBuf(terms(i), buf, len)) {
+          return acc
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    /** Slow-path insert for terms already materialized as Strings
+      * (non-ASCII lowercase fallback). */
+    def getOrInsert(term: String): PostingAcc = {
+      val hash = hashOf(term)
+      var i = hash & mask
+      while (true) {
+        val acc = accs(i)
+        if (acc == null) {
+          val a = new PostingAcc
+          hashes(i) = hash; terms(i) = term; accs(i) = a
+          n += 1
+          if (n * 4 > cap * 3) grow()
+          return a
+        } else if (hashes(i) == hash && terms(i) == term) {
+          return acc
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    private def grow(): Unit = {
+      val oh = hashes; val ot = terms; val oa = accs; val oc = cap
+      cap *= 2; mask = cap - 1
+      hashes = new Array[Int](cap)
+      terms = new Array[String](cap)
+      accs = new Array[PostingAcc](cap)
+      var i = 0
+      while (i < oc) {
+        if (oa(i) != null) {
+          var j = oh(i) & mask
+          while (accs(j) != null) j = (j + 1) & mask
+          hashes(j) = oh(i); terms(j) = ot(i); accs(j) = oa(i)
+        }
+        i += 1
+      }
+    }
+
+    def foreachEntry(f: (String, PostingAcc) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (accs(i) != null) f(terms(i), accs(i)); i += 1 }
+    }
+
+    def size: Int = n
+  }
+
+  @inline private def hashOf(s: String): Int = {
+    // same rolling hash as the buffer path (String.hashCode formula)
+    var h = 0; var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** One-pass tokenize + doc-local combine for the content (lowercased)
+    * and content_raw fields. Walks the text once with the exact
+    * [[Tokenizer]] boundary semantics (non-alphanumeric Unicode split,
+    * drop >40 chars), lowercasing ASCII chars in a reused buffer; only
+    * non-ASCII tokens fall back to substring + String.toLowerCase (the
+    * Locale.ROOT-correct slow path, so semantics stay identical — the
+    * differential spec asserts it). Emits the same rows as
+    * combine-over-Tokenizer did; allocation is O(distinct terms), not
+    * O(token occurrences). Returns (contentMap, rawMap or null, dl). */
+  private def scanContent(text: String, indexRaw: Boolean)
+      : (TermMap, TermMap, Long) = {
+    val cMap = new TermMap(64)
+    val rMap = if (indexRaw) new TermMap(64) else null
+    val buf = new Array[Char](Tokenizer.MaxTokenLen)
+    var dl = 0L
+    if (text == null || text.isEmpty) return (cMap, rMap, 0L)
+    val n = text.length
+    var i = 0
+    var start = -1
+    var pos = 0
+
+    @inline def emit(endExcl: Int): Unit = {
+      val len = endExcl - start
+      if (len <= Tokenizer.MaxTokenLen) {
+        // raw + lowercase hashes in one pass over the token chars
+        var ascii = true
+        var hRaw = 0
+        var hLow = 0
+        var j = 0
+        while (j < len) {
+          val c = text.charAt(start + j)
+          if (c >= 128) ascii = false
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          buf(j) = lc
+          hRaw = hRaw * 31 + c
+          hLow = hLow * 31 + lc
+          j += 1
+        }
+        if (ascii) {
+          cMap.getOrInsert(buf, len, hLow).add(pos)
+          if (rMap != null) {
+            // reuse buf for the raw form only if it differs
+            if (hRaw == hLow) rMap.getOrInsert(buf, len, hRaw).add(pos)
+            else {
+              var k = 0
+              while (k < len) { buf(k) = text.charAt(start + k); k += 1 }
+              rMap.getOrInsert(buf, len, hRaw).add(pos)
+            }
+          }
+        } else {
+          val raw = text.substring(start, endExcl)
+          cMap.getOrInsert(raw.toLowerCase(java.util.Locale.ROOT)).add(pos)
+          if (rMap != null) rMap.getOrInsert(raw).add(pos)
+        }
+        pos += 1
+        dl += 1
+      }
+    }
+
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (Tokenizer.isAlphaNumCp(cp)) {
+        if (start < 0) start = i
+      } else if (start >= 0) {
+        emit(i)
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0) emit(n)
+    (cMap, rMap, dl)
+  }
+
   /** Doc-local posting rows: (shard, field, term, doc_id, dl, tf,
     * pos_bytes). Tokenization AND per-(doc, term) aggregation happen in
     * one map pass — a document is self-contained, so term frequencies and
@@ -220,7 +403,7 @@ object FtsIndexBuilder {
     * Field lengths come from the same single split pass; the lowercased
     * content stream is derived from the raw split (identical by
     * construction, see Tokenizer). */
-  private[index] def postingRows(docs: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def postingRows(docs: DataFrame, cfg: Config): DataFrame = {
     import docs.sparkSession.implicits._
     val indexRaw = cfg.indexRawField
     val codeAn = cfg.codeAnalyzers
@@ -248,19 +431,19 @@ object FtsIndexBuilder {
     docs.select($"shard", $"doc_id", $"content", $"ids")
       .as[(Int, Long, String, Seq[String])]
       .flatMap { case (sh, id, content, ids) =>
-        val raw = Tokenizer.tokenizeRaw(content)
-        val dl = raw.size.toLong
-        val c = combine(sh, FieldContent, id, dl,
-          raw.iterator.zipWithIndex.map { case (t, p) =>
-            (t.toLowerCase(java.util.Locale.ROOT), p)
-          })
-        val r = if (indexRaw)
-          combine(sh, FieldRaw, id, dl, raw.iterator.zipWithIndex)
-        else Iterator.empty
+        val (cMap, rMap, dl) = scanContent(content, indexRaw)
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Int, String, String, Long, Long, Long, Array[Byte])](
+          cMap.size + (if (rMap == null) 0 else rMap.size) + 8)
+        cMap.foreachEntry((t, a) =>
+          out += ((sh, FieldContent, t, id, dl, a.n, a.out.toByteArray)))
+        if (rMap != null)
+          rMap.foreachEntry((t, a) =>
+            out += ((sh, FieldRaw, t, id, dl, a.n, a.out.toByteArray)))
         val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
         val i = combine(sh, FieldIdent, id, identToks.size.toLong,
           identToks.iterator)
-        c ++ r ++ i
+        out.iterator ++ i
       }.toDF("shard", "field", "term", "doc_id", "dl", "tf", "pos_bytes")
   }
 
@@ -299,9 +482,11 @@ object FtsIndexBuilder {
     if (timing) println(f"[timing] g$gid%d segments ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
 
     // lineage/metrics derive from the durably written segments (columnar
-    // read of the small metadata columns only — the posting pipeline runs
+    // read of SMALL metadata columns only — n_bytes is precomputed at
+    // encode time so the blob columns are never re-read; the docs-side
+    // stats were computed once in stageDocs). The posting pipeline runs
     // exactly once, nothing persisted; the global dictionary is likewise
-    // aggregated from segments at finalize)
+    // aggregated from segments at finalize.
     val seg = spark.read.parquet(s"$vDir/segments/g$gid")
 
     // per-shard lineage + metrics rows, committed together (group-atomic:
@@ -312,12 +497,9 @@ object FtsIndexBuilder {
       sum("n").as("n_postings"),
       sum(when($"field" === FieldContent, $"sum_tf")
         .otherwise(lit(0L))).as("n_tokens"),
-      sum(length($"doc_bytes") + length($"tf_bytes") +
-        length($"dl_bytes") + length($"pos_bytes")).as("bytes_postings"))
-    val dd = d.groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum(crc32($"sha256")).as("input_sha"),
-      sum(length($"content")).as("bytes_docs"))
+      sum($"n_bytes").as("bytes_postings"))
+    val dd = spark.read.parquet(s"$vDir/docstats")
+      .where($"shard".isin(shards: _*))
     val rows = dd.join(m, Seq("shard"), "left").collect().map { r =>
       ManifestRow(r.getAs[Int]("shard"), "done",
         r.getAs[Long]("n_docs"),
@@ -367,12 +549,13 @@ object FtsIndexBuilder {
           // the doc-local combine — append verbatim
           posOut.write(posBytes, 0, posBytes.length)
         }
+        val docB = Codec.encodeDeltas(docIds.toArray)
+        val tfB = Codec.encodeVarints(tfs.toArray)
+        val dlB = Codec.encodeVarints(dls.toArray)
+        val posB = posOut.toByteArray
         SegmentBlock(shard, field, term, docIds.head, docIds.last,
-          docIds.length, sumTf,
-          Codec.encodeDeltas(docIds.toArray),
-          Codec.encodeVarints(tfs.toArray),
-          Codec.encodeVarints(dls.toArray),
-          posOut.toByteArray, maxTf, minDl)
+          docIds.length, sumTf, docB, tfB, dlB, posB, maxTf, minDl,
+          docB.length.toLong + tfB.length + dlB.length + posB.length)
       }
     }
 

@@ -50,7 +50,12 @@ object FtsSchema {
                                 sum_tf: Long,
                                 doc_bytes: Array[Byte], tf_bytes: Array[Byte],
                                 dl_bytes: Array[Byte], pos_bytes: Array[Byte],
-                                max_tf: Long, min_dl: Long)
+                                max_tf: Long, min_dl: Long,
+                                /** total encoded bytes of the four blob
+                                  * columns — manifest metrics aggregate
+                                  * this small column instead of re-reading
+                                  * the blobs. */
+                                n_bytes: Long)
 
   final case class DictRow(field: String, term: String, df: Long, cf: Long)
 

@@ -68,9 +68,11 @@ object Ann {
 
   /** Precomputed sign matrix as a literal 2-D array column (planes x dim) —
     * constant-folded by Catalyst, zero per-row hashing. */
-  private[graft] def signMatrix: Array[Array[Double]] = {
-    // must match sign(): md5-derived parity
-    (0 until NumPlanes).map { p =>
+  private[graft] def signMatrix: Array[Array[Double]] = signMatrixN(NumPlanes)
+
+  /** First n md5-seeded hyperplanes (must match sign()'s parity). */
+  private[graft] def signMatrixN(n: Int): Array[Array[Double]] = {
+    (0 until n).map { p =>
       (0 until Dim).map { d =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"p${p}_d$d".getBytes("UTF-8"))
@@ -78,6 +80,32 @@ object Ann {
         if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
       }.toArray
     }.toArray
+  }
+
+  /** Multi-band random-hyperplane buckets: one row per (vector, band),
+    * band key = sign pattern of that band's planesPerBand hyperplanes.
+    * Recall of a near pair is 1 - (1 - p^planesPerBand)^nBands with
+    * p = 1 - theta/pi — nBands is the recall knob, planesPerBand the
+    * selectivity knob. Candidate generation stays an equi-join on
+    * (band, bkey). */
+  def rhBandBuckets(emb: DataFrame, nBands: Int,
+                    planesPerBand: Int): DataFrame = {
+    val m = signMatrixN(nBands * planesPerBand)
+    val bandCols = (0 until nBands).map { b =>
+      val bits = (0 until planesPerBand).map { j =>
+        val planeLit = array(m(b * planesPerBand + j).map(lit): _*)
+        val proj = aggregate(
+          zip_with(transform(col("embedding"), x => x.cast("double")),
+            planeLit, (x, s) => x * s),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bkey"))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Random-hyperplane bucket id (0..2^NumPlanes-1) per vector. */

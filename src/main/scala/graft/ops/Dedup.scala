@@ -188,14 +188,21 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine similarity
-    * is >= threshold (candidates via the ANN LSH buckets). */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val bucketed = Ann.rhBuckets(emb)
-    val l = bucketed.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("ea"))
-    val r = bucketed.select(col("bucket").as("bucket2"),
+    * is >= threshold. Candidates come from MULTI-BAND random-hyperplane
+    * LSH ([[Ann.rhBandBuckets]]) — a pair is a candidate if ANY band's
+    * sign pattern matches, so recall near the threshold is
+    * 1-(1-p^planesPerBand)^nBands instead of the single-band p^8 (the
+    * round-1 weak spot). Still an equi-join on (band, bkey) — no
+    * all-pairs product. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        nBands: Int = 4, planesPerBand: Int = 6): DataFrame = {
+    val bucketed = Ann.rhBandBuckets(emb, nBands, planesPerBand)
+    val l = bucketed.select(col("band"), col("bkey"),
+      col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = bucketed.select(col("band").as("band2"), col("bkey").as("bkey2"),
       col("vec_id").as("b"), col("embedding").as("eb"))
-    l.join(r, l("bucket") === r("bucket2") && l("a") < r("b"))
+    l.join(r, l("band") === r("band2") && l("bkey") === r("bkey2") &&
+        l("a") < r("b"))
       .select(col("a"), col("b"),
         round(Ann.cosine(col("ea"), col("eb")), 4).as("sim"))
       .where(col("sim") >= threshold)

@@ -89,7 +89,7 @@ object DiscoveryQueries {
         Seq("merge"), Int.MaxValue)
       graft.query.MultiRepo.aggregate(
         scored.join(c.select("doc_id", "repo"), "doc_id"),
-        limit = 3, minScore = Some(0.42))
+        limit = 3, minScore = Some(0.40))
         .select("repo", "rank", "doc_id", "score")
     }),
   )
@@ -212,7 +212,7 @@ object DiscoveryQueries {
            |    row_number() OVER (PARTITION BY c.repo
            |      ORDER BY sc.score DESC, sc.doc_id) AS rank
            |  FROM scored sc JOIN corpus c USING (doc_id)
-           |  WHERE sc.score >= 0.42
+           |  WHERE sc.score >= 0.40
            |) WHERE rank <= 3""".stripMargin,
     )
   }

@@ -117,6 +117,50 @@ class OpsSpec extends AnyFunSuite {
     assert(nd.exists(r => r.getLong(0) == 7L && r.getLong(1) == 9100L))
   }
 
+  test("multi-band embedding LSH recall >= single-band on injected near-dups") {
+    val s = spark
+    import s.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 40)
+    val rows = base.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // deterministic perturbed copy of each vector (cos ~ 0.95-0.99)
+    val injected = rows.map { case (id, v) =>
+      val w = v.reverse
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nw = math.sqrt(w.map(x => x.toDouble * x).sum)
+      val pert = v.zip(w).map { case (a, b) =>
+        (a / nv + 0.22 * b / nw).toFloat }
+      (id + 10000L, pert)
+    }.toSeq
+    val emb = base.select("vec_id", "embedding")
+      .unionByName(injected.toDF("vec_id", "embedding"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // injected ground-truth pairs above the threshold
+    val truth = rows.flatMap { case (id, v) =>
+      val p = injected.find(_._1 == id + 10000L).get._2
+      if (cos(v, p) >= 0.901) Some((id, id + 10000L)) else None
+    }.toSet
+    assert(truth.size >= 30) // perturbation kept pairs above threshold
+    def found(nBands: Int, ppb: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDups(emb, 0.9, nBands, ppb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth)
+    val single = found(1, 8) // the round-1 single-bucket scheme
+    val multi = found(4, 6)
+    val recallS = single.size.toDouble / truth.size
+    val recallM = multi.size.toDouble / truth.size
+    assert(recallM >= recallS, s"multi $recallM < single $recallS")
+    assert(recallM >= 0.6, s"multi-band recall too low: $recallM")
+  }
+
   test("quality metrics sane on degenerate inputs") {
     val q = TextAnalysis.quality(docs).where(col("doc_id") === 9002L).collect()(0)
     assert(q.getAs[Long]("n_chars") === 4L)

@@ -33,6 +33,21 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.identifiers("9abc _x 9") === Seq("abc", "_x"))
   }
 
+  test("identifier scanner == regex reference (property)") {
+    val re = "[a-zA-Z_][a-zA-Z0-9_]*".r
+    def reference(text: String): Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val it = re.findAllIn(text)
+      while (it.hasNext && seen.size < Tokenizer.MaxIdentifiers)
+        seen += it.next()
+      seen.toSeq
+    }
+    (1 to 500).foreach { _ =>
+      val t = randomText()
+      assert(Tokenizer.identifiers(t) === reference(t), s"text=<$t>")
+    }
+  }
+
   test("camelCase / snake_case splitting") {
     assert(Tokenizer.splitIdentifier("getUserName") === Seq("get", "user", "name"))
     assert(Tokenizer.splitIdentifier("HTTPServer") === Seq("http", "server"))
