@@ -50,7 +50,7 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     val cmd = Seq("taskset", "-c", cpus.mkString(",")) ++
       Seq(javaBin) ++ inherited ++ Seq(
-        s"-XX:ActiveProcessorCount=${cpus.size}", "-Xmx8g",
+        s"-XX:ActiveProcessorCount=${cpus.size}", "-Xmx12g",
         // throughput collector for batch builds (what a production batch
         // executor would run); measured slightly better 4x-concurrency
         // behavior than G1 on this host
@@ -154,7 +154,12 @@ object Bench {
     val n4 = 4 * coresPer
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "thread")
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
+    // This host shows time-varying hypervisor steal (±40% between
+    // IDENTICAL runs minutes apart). The N and 4N runs of one iteration
+    // execute back-to-back so each PAIR sees a similar steal environment;
+    // the reported efficiency is the MEDIAN OF PER-PAIR RATIOS (robust to
+    // correlated noise), alongside per-level median throughputs.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val runsN = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
     val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
     (1 to iters).foreach { _ =>
@@ -170,7 +175,9 @@ object Bench {
       rs.sortBy(_._1).apply(rs.size / 2)
     val (fpsN, secN, _) = median(runsN.toSeq)
     val (fps4N, sec4N, nDocs) = median(runs4N.toSeq)
-    val efficiency = fps4N / (4.0 * fpsN)
+    val perPairEff = runsN.zip(runs4N)
+      .map { case ((fN, _, _), (f4, _, _)) => f4 / (4.0 * fN) }.sorted
+    val efficiency = perPairEff(perPairEff.size / 2)
 
     // ---- warm query latency (full machine) ------------------------------
     val spark = newSession(math.max(cpus, n4))
@@ -205,7 +212,13 @@ object Bench {
 
     qtimes(s"build_n$n1") = secN
     qtimes(s"build_n$n4") = sec4N
-    val total = qtimes.values.sum
+    val total = qtimes.values.sum // seconds only — fps entries added after
+    // raw per-iteration throughputs (noise transparency; excluded from the
+    // seconds total)
+    runsN.zipWithIndex.foreach { case ((f, _, _), i) =>
+      qtimes(s"fps_n${n1}_i$i") = f }
+    runs4N.zipWithIndex.foreach { case ((f, _, _), i) =>
+      qtimes(s"fps_n${n4}_i$i") = f }
     val qs = qtimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(

@@ -97,6 +97,20 @@ object Codec {
       } while ((b & 0x80) != 0)
       v
     }
+    /** Skip n varint values, returning their raw byte slice verbatim —
+      * used to re-partition concatenated per-posting position lists
+      * without decode/re-encode. */
+    def readRawList(n: Int): Array[Byte] = {
+      val start = pos
+      var i = 0
+      while (i < n) {
+        while ((bytes(pos) & 0x80) != 0) pos += 1
+        pos += 1
+        i += 1
+      }
+      java.util.Arrays.copyOfRange(bytes, start, pos)
+    }
+
     /** Read one delta-encoded ascending list of length n. */
     def readDeltaList(n: Int): Array[Int] = {
       val out = new Array[Int](n)

@@ -116,15 +116,14 @@ object FtsDeltas {
                                  dDir: String, gen: Int,
                                  cfg: FtsIndexBuilder.Config): Unit = {
     import spark.implicits._
-    FtsIndexBuilder.postingRows(docs, cfg)
+    FtsIndexBuilder.postingRuns(docs, cfg)
       .repartition(math.max(cfg.segmentPartitions / 4, 1),
-        $"shard", $"field", $"term",
-        floor($"doc_id" / lit(32L * cfg.blockSize)))
-      .sortWithinPartitions("shard", "field", "term", "doc_id")
-      .select($"shard", $"field", $"term", $"doc_id",
-        $"dl", $"tf", $"pos_bytes")
-      .as[(Int, String, String, Long, Long, Long, Array[Byte])]
-      .mapPartitions(it => FtsIndexBuilder.encodePartition(it, cfg.blockSize))
+        $"shard", $"field", $"term", $"bucket")
+      .sortWithinPartitions("shard", "field", "term", "bucket", "first_doc")
+      .as[(Int, String, String, Long, Long, Int,
+        Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .mapPartitions(it =>
+        FtsIndexBuilder.encodeRunPartition(it, cfg.blockSize))
       .write.mode("overwrite").parquet(s"$dDir/segments")
     spark.read.parquet(s"$dDir/segments")
       .groupBy("field", "term")

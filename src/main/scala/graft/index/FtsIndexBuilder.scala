@@ -19,13 +19,14 @@ import graft.index.FtsSchema._
   *     (repo, path). Deterministic under any parallelism (the scaling
   *     evidence precondition). Written partitioned by shard.
   *  2. shard stage, per shard (the resumable checkpoint unit): tokenize all
-  *     three fields -> postings with positions -> repartitionByRange on
-  *     (field, term, doc_id) [range partitioning splits a skewed term's
-  *     posting list across partitions by doc range — the salting analog
-  *     required by the north rule, without a salt column] ->
-  *     sortWithinPartitions -> streaming mapPartitions encoder emitting
-  *     delta-gap + varint blocks with block-max metadata. A manifest row
-  *     with lineage + token/byte metrics commits the shard.
+  *     three fields and build PER-MAP-PARTITION posting runs (sorted,
+  *     delta-gap varint packed — the north star's "per-partition inverted
+  *     indexes") -> ONE hash shuffle on (shard, field, term, doc-bucket)
+  *     [the bucket splits a skewed term's posting list across partitions
+  *     by doc range — the salting analog required by the north rule] ->
+  *     sortWithinPartitions -> streaming merge-encoder emitting delta-gap
+  *     + varint blocks with block-max metadata. A manifest row with
+  *     lineage + token/byte metrics commits the shard.
   *  3. finalize — global dict (df/cf summed across shards, exactly-once
   *     because per-shard docs are disjoint), corpus stats, and an atomic
   *     `current` pointer swap (reference analog: tmp dir + os.rename,
@@ -392,59 +393,191 @@ object FtsIndexBuilder {
     (cMap, rMap, dl)
   }
 
-  /** Doc-local posting rows: (shard, field, term, doc_id, dl, tf,
-    * pos_bytes). Tokenization AND per-(doc, term) aggregation happen in
-    * one map pass — a document is self-contained, so term frequencies and
-    * delta-encoded position lists never need a token-level shuffle (the
-    * map-side combine the north rule's partial-aggregation stage implies).
-    * The only shuffle in the whole segment build is the posting-row
-    * repartition to segment partitions.
+  /** One map-side posting RUN: the postings of one (field, term) over a
+    * contiguous ascending doc range, already delta-gap + varint packed.
+    * first_doc/lastDoc bound the range; docOut holds gaps, tfOut/dlOut
+    * plain varints, posOut the concatenated per-posting position lists. */
+  private final class RunAcc(val firstDoc: Long) {
+    var lastDoc: Long = -1L
+    var n: Int = 0
+    val docOut = new java.io.ByteArrayOutputStream(16)
+    val tfOut = new java.io.ByteArrayOutputStream(8)
+    val dlOut = new java.io.ByteArrayOutputStream(8)
+    val posOut = new java.io.ByteArrayOutputStream(32)
+    def add(doc: Long, dl: Long, tf: Long, pos: Array[Byte]): Unit = {
+      if (n == 0) Codec.writeVarLong(docOut, doc)
+      else Codec.writeVarLong(docOut, doc - lastDoc)
+      lastDoc = doc
+      Codec.writeVarLong(tfOut, tf)
+      Codec.writeVarLong(dlOut, dl)
+      posOut.write(pos, 0, pos.length)
+      n += 1
+    }
+  }
+
+  private type RunRow = (Int, String, String, Long, Long, Int,
+    Array[Byte], Array[Byte], Array[Byte], Array[Byte])
+
+  /** Map-side posting RUNS — the north-star architecture made literal:
+    * each input partition builds per-partition inverted posting lists
+    * (sorted, delta-gap varint packed) and the shuffle moves those packed
+    * runs, not per-doc rows. One shuffle row per (field, term, doc-bucket)
+    * per map partition instead of one per (doc, field, term): typically
+    * 10-30x fewer rows and several-x fewer bytes through the exchange —
+    * the map-side combine a 100 TB build needs.
     *
-    * Field lengths come from the same single split pass; the lowercased
-    * content stream is derived from the raw split (identical by
-    * construction, see Tokenizer). */
-  private[graft] def postingRows(docs: DataFrame, cfg: Config): DataFrame = {
+    * Runs are keyed by (shard, field, term, bucket) where bucket =
+    * doc_id / (32*blockSize) — the same skew-splitting key as before (a
+    * df==N stopword's postings split across partitions by doc range).
+    * Within a run, docs are strictly ascending; the builder flushes on
+    * shard/bucket change or any doc-order regress (file-split packing can
+    * concatenate non-adjacent chunks), so runs of one key coming from
+    * different map partitions cover disjoint doc ranges and concatenate in
+    * first_doc order into the identical posting stream the per-doc path
+    * produced — final segment blocks are byte-identical at ANY input
+    * split layout or parallelism (asserted by FtsBuildSpec).
+    *
+    * Tokenization AND per-(doc, term) aggregation happen in the same map
+    * pass (a document is self-contained). Field lengths come from the
+    * same single split pass. */
+  private[graft] def postingRuns(docs: DataFrame, cfg: Config): DataFrame = {
     import docs.sparkSession.implicits._
     val indexRaw = cfg.indexRawField
     val codeAn = cfg.codeAnalyzers
     val ngrams = cfg.prefixNgrams
-
-    def combine(sh: Int, field: String, id: Long, dl: Long,
-                toks: Iterator[(String, Int)])
-        : Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] = {
-      val m = new java.util.LinkedHashMap[String, PostingAcc]()
-      toks.foreach { case (t, p) =>
-        var acc = m.get(t)
-        if (acc == null) { acc = new PostingAcc; m.put(t, acc) }
-        acc.add(p)
-      }
-      val it = m.entrySet().iterator()
-      new Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] {
-        def hasNext: Boolean = it.hasNext
-        def next(): (Int, String, String, Long, Long, Long, Array[Byte]) = {
-          val e = it.next()
-          (sh, field, e.getKey, id, dl, e.getValue.n, e.getValue.out.toByteArray)
-        }
-      }
-    }
-
+    val bucketDocs = 32L * cfg.blockSize
     docs.select($"shard", $"doc_id", $"content", $"ids")
       .as[(Int, Long, String, Seq[String])]
-      .flatMap { case (sh, id, content, ids) =>
-        val (cMap, rMap, dl) = scanContent(content, indexRaw)
-        val out = new scala.collection.mutable.ArrayBuffer[
-          (Int, String, String, Long, Long, Long, Array[Byte])](
-          cMap.size + (if (rMap == null) 0 else rMap.size) + 8)
-        cMap.foreachEntry((t, a) =>
-          out += ((sh, FieldContent, t, id, dl, a.n, a.out.toByteArray)))
-        if (rMap != null)
-          rMap.foreachEntry((t, a) =>
-            out += ((sh, FieldRaw, t, id, dl, a.n, a.out.toByteArray)))
-        val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
-        val i = combine(sh, FieldIdent, id, identToks.size.toLong,
-          identToks.iterator)
-        out.iterator ++ i
-      }.toDF("shard", "field", "term", "doc_id", "dl", "tf", "pos_bytes")
+      .mapPartitions { it =>
+        runIterator(it, indexRaw, codeAn, ngrams, bucketDocs)
+      }
+      .toDF("shard", "field", "term", "bucket", "first_doc", "n",
+        "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes")
+  }
+
+  private def runIterator(
+      docsIt: Iterator[(Int, Long, String, Seq[String])],
+      indexRaw: Boolean, codeAn: Boolean, ngrams: Boolean,
+      bucketDocs: Long): Iterator[RunRow] = new Iterator[RunRow] {
+    private val accs = new java.util.LinkedHashMap[(String, String), RunAcc]()
+    private var curShard = Int.MinValue
+    private var curBucket = Long.MinValue
+    private var lastDoc = Long.MinValue
+    private val outQ = new scala.collection.mutable.Queue[RunRow]()
+
+    private def flush(): Unit = {
+      val e = accs.entrySet().iterator()
+      while (e.hasNext) {
+        val kv = e.next()
+        val a = kv.getValue
+        outQ += ((curShard, kv.getKey._1, kv.getKey._2, curBucket,
+          a.firstDoc, a.n, a.docOut.toByteArray, a.tfOut.toByteArray,
+          a.dlOut.toByteArray, a.posOut.toByteArray))
+      }
+      accs.clear()
+    }
+
+    @inline private def addPosting(f: String, t: String, doc: Long,
+                                   dl: Long, tf: Long,
+                                   pos: Array[Byte]): Unit = {
+      val k = (f, t)
+      var a = accs.get(k)
+      if (a == null) { a = new RunAcc(doc); accs.put(k, a) }
+      a.add(doc, dl, tf, pos)
+    }
+
+    private def processDoc(sh: Int, id: Long, content: String,
+                           ids: Seq[String]): Unit = {
+      val b = id / bucketDocs
+      if (sh != curShard || b != curBucket || id <= lastDoc) flush()
+      curShard = sh; curBucket = b; lastDoc = id
+      val (cMap, rMap, dl) = scanContent(content, indexRaw)
+      cMap.foreachEntry((t, acc) =>
+        addPosting(FieldContent, t, id, dl, acc.n, acc.out.toByteArray))
+      if (rMap != null)
+        rMap.foreachEntry((t, acc) =>
+          addPosting(FieldRaw, t, id, dl, acc.n, acc.out.toByteArray))
+      val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
+      combine(sh, FieldIdent, id, identToks.size.toLong, identToks.iterator)
+        .foreach { case (_, _, t, _, dli, tfi, pb) =>
+          addPosting(FieldIdent, t, id, dli, tfi, pb)
+        }
+    }
+
+    override def hasNext: Boolean = {
+      while (outQ.isEmpty && docsIt.hasNext) {
+        val (sh, id, c, ids) = docsIt.next()
+        processDoc(sh, id, c, ids)
+      }
+      if (outQ.isEmpty && !accs.isEmpty) flush()
+      outQ.nonEmpty
+    }
+
+    override def next(): RunRow = {
+      if (!hasNext) throw new NoSuchElementException
+      outQ.dequeue()
+    }
+  }
+
+  /** Decode sorted packed runs back to per-posting order and feed the
+    * streaming block encoder. The reduce-side sort key
+    * (shard, field, term, bucket, first_doc) totally orders postings by
+    * (shard, field, term, doc_id) — bucket is a doc_id prefix and runs of
+    * one key are doc-range-disjoint — so blocks come out identical to the
+    * per-doc-row path's. */
+  private[index] def encodeRunPartition(it: Iterator[RunRow],
+                                        blockSize: Int): Iterator[SegmentBlock] = {
+    val postings = it.flatMap {
+      case (sh, f, t, _, _, n, docB, tfB, dlB, posB) =>
+        val docs = Codec.decodeDeltas(docB, n)
+        val tfs = Codec.decodeVarints(tfB, n)
+        val dls = Codec.decodeVarints(dlB, n)
+        val pr = new Codec.VarIntReader(posB)
+        (0 until n).iterator.map { i =>
+          (sh, f, t, docs(i), dls(i), tfs(i), pr.readRawList(tfs(i).toInt))
+        }
+    }
+    encodePartition(postings, blockSize)
+  }
+
+  /** Per-doc posting rows (shard, field, term, doc_id, dl, tf, pos_bytes),
+    * decoded from [[postingRuns]] — a debugging/differential-test view;
+    * there is exactly ONE tokenize+combine path. */
+  private[graft] def postingRows(docs: DataFrame, cfg: Config): DataFrame = {
+    import docs.sparkSession.implicits._
+    postingRuns(docs, cfg)
+      .as[RunRow]
+      .flatMap { case (sh, f, t, _, _, n, docB, tfB, dlB, posB) =>
+        val ids = Codec.decodeDeltas(docB, n)
+        val tfs = Codec.decodeVarints(tfB, n)
+        val dls = Codec.decodeVarints(dlB, n)
+        val pr = new Codec.VarIntReader(posB)
+        (0 until n).iterator.map { i =>
+          (sh, f, t, ids(i), dls(i), tfs(i), pr.readRawList(tfs(i).toInt))
+        }
+      }
+      .toDF("shard", "field", "term", "doc_id", "dl", "tf", "pos_bytes")
+  }
+
+  /** Doc-local combine for a positional token stream (identifiers field):
+    * per-(doc, term) tf + delta-varint position list in one pass. */
+  private def combine(sh: Int, field: String, id: Long, dl: Long,
+                      toks: Iterator[(String, Int)])
+      : Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] = {
+    val m = new java.util.LinkedHashMap[String, PostingAcc]()
+    toks.foreach { case (t, p) =>
+      var acc = m.get(t)
+      if (acc == null) { acc = new PostingAcc; m.put(t, acc) }
+      acc.add(p)
+    }
+    val it = m.entrySet().iterator()
+    new Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Int, String, String, Long, Long, Long, Array[Byte]) = {
+        val e = it.next()
+        (sh, field, e.getKey, id, dl, e.getValue.n, e.getValue.out.toByteArray)
+      }
+    }
   }
 
   /** Build the segments of a GROUP of shards in one Spark job chain.
@@ -460,24 +593,23 @@ object FtsIndexBuilder {
     val t0 = System.currentTimeMillis()
     val d = docs.where($"shard".isin(shards: _*))
 
-    // Doc-local posting rows (see postingRows) -> ONE shuffle:
+    // Map-side posting RUNS (see postingRuns) -> ONE shuffle:
     // hash-partition on (shard, field, term, doc-bucket). Deterministic in
-    // the partition COUNT only (no range-sampling pass, and — unlike a
-    // range partitioner — independent of the input's split layout, so
-    // segments are bit-identical at any parallelism). The doc-bucket key
-    // splits a skewed term's posting list (df == N stopwords) across
-    // partitions in blockSize*32-doc slices — the north-rule salting
-    // analog. Terms stay sorted WITHIN each partition, so Parquet
-    // row-group min/max stats still prune term lookups.
+    // the partition COUNT only (no range-sampling pass; run boundaries
+    // vary with the input split layout but the DECODED posting stream —
+    // and therefore every segment block — is bit-identical at any
+    // parallelism). The doc-bucket key splits a skewed term's posting
+    // list (df == N stopwords) across partitions in blockSize*32-doc
+    // slices — the north-rule salting analog. Terms stay sorted WITHIN
+    // each partition, so Parquet row-group min/max stats still prune term
+    // lookups.
     val blockSize = cfg.blockSize
-    postingRows(d, cfg)
+    postingRuns(d, cfg)
       .repartition(cfg.segmentPartitions, $"shard", $"field", $"term",
-        floor($"doc_id" / lit(32L * cfg.blockSize)))
-      .sortWithinPartitions("shard", "field", "term", "doc_id")
-      .select($"shard", $"field", $"term", $"doc_id", $"dl", $"tf",
-        $"pos_bytes")
-      .as[(Int, String, String, Long, Long, Long, Array[Byte])]
-      .mapPartitions { it => encodePartition(it, blockSize) }
+        $"bucket")
+      .sortWithinPartitions("shard", "field", "term", "bucket", "first_doc")
+      .as[RunRow]
+      .mapPartitions { it => encodeRunPartition(it, blockSize) }
       .write.mode("overwrite").parquet(s"$vDir/segments/g$gid")
     if (timing) println(f"[timing] g$gid%d segments ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
 
