@@ -38,6 +38,7 @@ object SparkEntry {
     "fts_engine_single" -> Queries.engineSingle,
     "fts_engine_and" -> Queries.engineAnd,
     "fts_engine_wand" -> Queries.engineWand,
+    "fts_engine_lang" -> Queries.engineLang,
     "fts_engine_prod_single" -> Queries.engineProdSingle,
     "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
@@ -158,6 +159,18 @@ object Queries {
 
   val engineSingle: (SparkSession, String) => DataFrame = (s, dir) =>
     engineTopK(s, dir, "merge")
+
+  /** Language-filtered search through the ENGINE (exercises the
+    * metadata-shuffle-join + filter-before-top-k branch end to end). */
+  val engineLang: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineIndex(s, dir)
+      .search(FtsQuery("merge", snippetLines = 0, limit = 10,
+        languages = Seq("py", "js")))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        col("language").as("lang"),
+        round(col("score"), 4).as("score"))
 
   val engineAnd: (SparkSession, String) => DataFrame = (s, dir) =>
     engineTopK(s, dir, "merge sort")
@@ -505,6 +518,25 @@ object OracleQueries {
 
     // the on-disk segment engine must reproduce the pure-SQL BM25 exactly
     "fts_engine_single" -> bm25TopK("'merge'", 1, 10),
+
+    "fts_engine_lang" ->
+      s"""$base
+         |SELECT doc_id, lang, round(sc, 4) AS score FROM (
+         |  SELECT sc.doc_id, c.lang, sc.sc
+         |  FROM (
+         |    SELECT p.doc_id,
+         |      sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |          * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS sc
+         |    FROM postings p
+         |    JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+         |    JOIN doclen l USING (doc_id)
+         |    CROSS JOIN stats s
+         |    WHERE p.term = 'merge'
+         |    GROUP BY 1
+         |  ) sc JOIN corpus c USING (doc_id)
+         |  WHERE c.lang IN ('py', 'js')
+         |) ORDER BY sc DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "fts_engine_and" -> bm25TopK("'merge', 'sort'", 2, 10),
     "fts_engine_wand" -> bm25TopK("'merge', 'sort'", 2, 10),
   )
