@@ -184,6 +184,7 @@ object Bench {
     val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     var p50Ex = 0.0
     var p50Wand = 0.0
+    var p50Cached = 0.0
     try {
       val root = java.nio.file.Files
         .createTempDirectory("graft_bench_q").toString
@@ -208,6 +209,16 @@ object Bench {
       }.sorted
       p50Ex = exTimes(exTimes.size / 2)
       p50Wand = wandTimes(wandTimes.size / 2)
+      // driver-side warm cache (reference daemon regime): first pass loads
+      // the touched blocks/docs, second pass is the measured hot path
+      val cache = new graft.query.FtsQueryCache(idx)
+      querySet.foreach(q => cache.search(FtsQuery(q, limit = 10)))
+      val cachedTimes = querySet.map { q =>
+        val (_, t) = timeS(cache.search(FtsQuery(q, limit = 10)))
+        qtimes(s"q_cached_${q.replace(' ', '_')}") = t
+        t
+      }.sorted
+      p50Cached = cachedTimes(cachedTimes.size / 2)
     } finally spark.stop()
 
     qtimes(s"build_n$n1") = secN
@@ -222,6 +233,6 @@ object Bench {
     val qs = qtimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"fts index build + BM25 top-10 query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"files_per_sec_n$n1":$fpsN,"files_per_sec_n$n4":$fps4N,"scaling_efficiency":$efficiency,"p50_query_exhaustive_sec":$p50Ex,"p50_query_wand_sec":$p50Wand}""")
+      s"""{"metric":"fts index build + BM25 top-10 query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"files_per_sec_n$n1":$fpsN,"files_per_sec_n$n4":$fps4N,"scaling_efficiency":$efficiency,"p50_query_exhaustive_sec":$p50Ex,"p50_query_wand_sec":$p50Wand,"p50_query_cached_sec":$p50Cached}""")
   }
 }

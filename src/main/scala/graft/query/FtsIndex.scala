@@ -171,6 +171,13 @@ class FtsIndex(spark: SparkSession, root: String) {
         FieldIdent -> a(FieldIdent))
     }
 
+  /** Per-field average document length (BM25 denominator input). */
+  def avgdl(field: String): Double = avgdlByField(field)
+
+  /** Whether incremental delta generations exist (WAND-style per-shard
+    * top-k must not run over dead docs — callers fall back). */
+  def hasDeltas: Boolean = deltaDirs.nonEmpty
+
   /** Cache the index relations across queries (the reference daemon's warm
     * index cache analog, server/cache/fts_index_cache.py). */
   def warm(): this.type = {

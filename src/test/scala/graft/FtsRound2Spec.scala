@@ -230,6 +230,35 @@ class FtsRound2Spec extends AnyFunSuite {
     assert(rows === expected)
   }
 
+  test("driver-side query cache: identical results, zero jobs when hot, " +
+       "fallback for unsupported shapes") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx)
+    for (text <- Seq("def", "merge sort", "login_user", "authenticate def")) {
+      val q = FtsQuery(text, limit = 10)
+      val cached = cache.search(q).map(r => (r.doc_id, r.score, r.path))
+      val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score, r.path))
+      // scores double-compare (same scorer constants, same df/N/avgdl)
+      assert(cached.map(_._1) === ex.map(_._1), s"docs for <$text>")
+      cached.zip(ex).foreach { case (c, e) =>
+        assert(math.abs(c._2 - e._2) < 1e-9, s"score for <$text>")
+      }
+    }
+    // hot path runs no Spark jobs
+    val tracker = spark.sparkContext.statusTracker
+    cache.search(FtsQuery("def", limit = 10)) // warm the terms + docs
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    val r = cache.search(FtsQuery("def", limit = 10))
+    val jobsAfter = tracker.getJobIdsForGroup(null).length
+    assert(r.nonEmpty)
+    assert(jobsAfter === jobsBefore, "hot cached query must run zero jobs")
+    // unsupported shapes fall back and stay correct
+    val fz = FtsQuery("mergs", editDistance = 1)
+    assert(cache.search(fz).map(_.doc_id) ===
+      idx.searchCollected(fz).map(_.doc_id))
+  }
+
   test("bulk upsert: sharded, deterministic doc-id assignment") {
     val batch = (1 to 40).map(i => Fixtures.Doc("test_repo", s"bulk/f_$i.py",
       i.toString * 40, "python", s"def bulk_$i(): return $i", Nil))
