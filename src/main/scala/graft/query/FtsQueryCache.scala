@@ -107,16 +107,27 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     val groupSpec = nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
     val shards = blocks.values.flatten.map(_.shard).toSeq.distinct.sorted
 
-    val perShard = shards.flatMap { sh =>
+    // shards run sequentially on the driver, so the θ floor carries over:
+    // once k docs are collected, later shards prune against the global
+    // kth-best (nextDown keeps exact-score ties alive for the doc_id
+    // tie-break) — the cross-shard pruning the distributed path cannot do
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]
+    var floor = 0.0
+    shards.foreach { sh =>
       val groups = groupSpec.map(_.flatMap { ft =>
         val bl = blocks(ft).filter(_.shard == sh)
         if (bl.isEmpty) None
         else Some((bl, idfs(ft), idx.avgdl(ft._1)))
       })
-      if (groups.exists(_.isEmpty)) Nil
-      else Wand.topKShard(groups, k)._1
+      if (!groups.exists(_.isEmpty)) {
+        collected ++= Wand.topKShard(groups, k, floor)._1
+        if (collected.size >= k) {
+          val kth = collected.sortBy(s => (-s.score, s.doc)).apply(k - 1)
+          floor = Math.nextDown(kth.score)
+        }
+      }
     }
-    val top = perShard.sortBy(s => (-s.score, s.doc)).take(k)
+    val top = collected.sortBy(s => (-s.score, s.doc)).take(k).toSeq
     if (top.isEmpty) return Nil
 
     val meta = docsFor(top.map(_.doc))

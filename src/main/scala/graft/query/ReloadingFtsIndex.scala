@@ -18,6 +18,7 @@ class ReloadingFtsIndex(spark: SparkSession, root: String,
                         warmOnLoad: Boolean = true) {
 
   @volatile private var cur: FtsIndex = load()
+  @volatile private var cache: FtsQueryCache = new FtsQueryCache(cur)
 
   private def load(): FtsIndex = {
     val idx = new FtsIndex(spark, root)
@@ -31,6 +32,7 @@ class ReloadingFtsIndex(spark: SparkSession, root: String,
       if (onDisk != cur.fingerprint) {
         val stale = cur
         cur = load()
+        cache = new FtsQueryCache(cur) // invalidate with the snapshot
         stale.cool()
       }
     }
@@ -40,4 +42,11 @@ class ReloadingFtsIndex(spark: SparkSession, root: String,
   def search(q: FtsQuery): Dataset[SearchResult] = index.search(q)
   def searchCollected(q: FtsQuery): Seq[SearchResult] = index.searchCollected(q)
   def searchWand(q: FtsQuery): Seq[SearchResult] = index.searchWand(q)
+
+  /** Warm-cache search against the CURRENT snapshot (ms-scale when hot;
+    * the cache is swapped atomically with the index on reload). */
+  def searchCached(q: FtsQuery): Seq[SearchResult] = {
+    index // trigger staleness check + possible swap
+    cache.search(q)
+  }
 }

@@ -164,7 +164,10 @@ object Wand {
         // block-max upper bound at d across all groups (shallow, no decode)
         var ub = 0.0
         gcs.foreach(g => ub += g.ubAt(d))
-        if (ub <= theta && heap.size >= k) {
+        // an external floor (already-merged shards) prunes even before the
+        // local heap fills: docs bounded by it cannot enter the GLOBAL
+        // top-k (callers pass nextDown(kth) so score ties survive)
+        if (ub <= theta && (heap.size >= k || floor > 0.0)) {
           // cannot beat θ anywhere in the current block alignment:
           // jump past the nearest block boundary
           var boundary = Long.MaxValue

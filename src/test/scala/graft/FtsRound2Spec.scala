@@ -166,10 +166,17 @@ class FtsRound2Spec extends AnyFunSuite {
       root, cfg)
     val rs = r.searchCollected(FtsQuery("xylophone_handler"))
     assert(rs.map(_.path) === Seq("src/xylo.py"))
+    // the warm cache is swapped with the snapshot: cached search sees the
+    // upsert too (via the cluster fallback while deltas exist)
+    assert(r.searchCached(FtsQuery("xylophone_handler"))
+      .map(_.path) === Seq("src/xylo.py"))
     // a full rebuild (current-pointer swap) is also picked up
     FtsDeltas.compact(spark, root, cfg)
     val rs2 = r.searchCollected(FtsQuery("xylophone_handler"))
     assert(rs2.map(_.path) === Seq("src/xylo.py"))
+    // post-compaction: cache path proper (no deltas), fresh snapshot
+    assert(r.searchCached(FtsQuery("xylophone_handler"))
+      .map(_.path) === Seq("src/xylo.py"))
   }
 
   test("prefix-ngram lane: engine resolves prefix queries via the " +
