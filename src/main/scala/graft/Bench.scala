@@ -39,9 +39,12 @@ object Bench {
   }
 
   /** Fork one worker JVM pinned to a cpu set (taskset + ActiveProcessorCount)
-    * running [[BenchBuild]]; returns its full stdout. */
+    * running [[BenchBuild]]; returns its full stdout. `heap` defaults to
+    * the thread-mode size (one JVM at a time); cluster mode passes a
+    * per-executor size — four concurrent 12g JVMs measurably thrash on
+    * this host (31 s vs 8 s for the same slice at 4g). */
   private def forkWorker(cpus: Seq[Int], cores: Int,
-                         args: Seq[String]): Process = {
+                         args: Seq[String], heap: String = "12g"): Process = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory
@@ -50,7 +53,7 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     val cmd = Seq("taskset", "-c", cpus.mkString(",")) ++
       Seq(javaBin) ++ inherited ++ Seq(
-        s"-XX:ActiveProcessorCount=${cpus.size}", "-Xmx12g",
+        s"-XX:ActiveProcessorCount=${cpus.size}", s"-Xmx$heap",
         // throughput collector for batch builds (what a production batch
         // executor would run); measured slightly better 4x-concurrency
         // behavior than G1 on this host
@@ -124,7 +127,8 @@ object Bench {
       val cpus = (w * coresPer) until ((w + 1) * coresPer)
       forkWorker(cpus, coresPer,
         Seq("shards", coresPer.toString) ++ common ++
-          Seq((w * slice).toString, ((w + 1) * slice).toString))
+          Seq((w * slice).toString, ((w + 1) * slice).toString),
+        heap = s"${2 * coresPer}g") // per-executor heap
     }
     val shardSec = procs.map(p => secOf(drain(p))).max
     val fin = drain(forkWorker(budget, budget.size,

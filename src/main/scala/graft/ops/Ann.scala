@@ -93,7 +93,7 @@ object Ann {
     val m = signMatrixN(nBands * planesPerBand)
     val bandCols = (0 until nBands).map { b =>
       val bits = (0 until planesPerBand).map { j =>
-        val planeLit = array(m(b * planesPerBand + j).map(lit): _*)
+        val planeLit = array(m(b * planesPerBand + j).toIndexedSeq.map(lit): _*)
         val proj = aggregate(
           zip_with(transform(col("embedding"), x => x.cast("double")),
             planeLit, (x, s) => x * s),
@@ -112,7 +112,7 @@ object Ann {
   def rhBuckets(emb: DataFrame): DataFrame = {
     val m = signMatrix
     val bucketBits = (0 until NumPlanes).map { p =>
-      val planeLit = array(m(p).map(lit): _*)
+      val planeLit = array(m(p).toIndexedSeq.map(lit): _*)
       val proj = aggregate(
         zip_with(transform(col("embedding"), x => x.cast("double")),
           planeLit, (x, s) => x * s),

@@ -526,7 +526,7 @@ class FtsIndex(spark: SparkSession, root: String) {
     val scores = top.map(s => s.doc -> s.score).toMap
     val ids = top.map(_.doc)
     val meta = effectiveDocs
-      .where($"doc_id".isin(ids: _*))
+      .where($"doc_id".isin(ids.toIndexedSeq: _*))
       .select($"doc_id", $"repo", $"path", $"lang", $"content").collect()
     val text = q.text
     meta.toSeq.flatMap { r =>
