@@ -39,6 +39,7 @@ object SparkEntry {
     "fts_engine_and" -> Queries.engineAnd,
     "fts_engine_wand" -> Queries.engineWand,
     "fts_engine_lang" -> Queries.engineLang,
+    "fts_engine_limit0" -> Queries.engineLimit0,
     "fts_engine_prod_single" -> Queries.engineProdSingle,
     "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
@@ -174,6 +175,15 @@ object Queries {
 
   val engineAnd: (SparkSession, String) => DataFrame = (s, dir) =>
     engineTopK(s, dir, "merge sort")
+
+  /** limit=0 semantics through the engine: "unlimited" = 100000 cap,
+    * snippets forced off — the FULL matching set must equal SQL's. */
+  val engineLimit0: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineIndex(s, dir).search(FtsQuery("merge", limit = 0))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
 
   // ---- PRODUCTION-config engine (identifiers extracted from content,
   // codeAnalyzers on, content_raw indexed) — the config a real deployment
@@ -518,6 +528,7 @@ object OracleQueries {
 
     // the on-disk segment engine must reproduce the pure-SQL BM25 exactly
     "fts_engine_single" -> bm25TopK("'merge'", 1, 10),
+    "fts_engine_limit0" -> bm25TopK("'merge'", 1, 100000),
 
     "fts_engine_lang" ->
       s"""$base

@@ -53,36 +53,48 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     }
 
   /** Fetch-or-load blocks for all (field, term) pairs; ONE Spark job for
-    * all misses together. */
+    * all misses together. The returned map is built from hits + freshly
+    * fetched rows directly — correctness never depends on what survives
+    * the capacity-bounded LRU (a working set larger than maxTerms only
+    * loses the caching benefit, not results). */
   private def blocksFor(fts: Seq[(String, String)])
       : Map[(String, String), Array[SegmentBlock]] = synchronized {
-    val missing = fts.filterNot(termBlocks.containsKey)
-    if (missing.nonEmpty) {
-      val pred = missing.map { case (f, t) =>
-        col("field") === f && col("term") === t
-      }.reduce(_ || _)
-      val fetched = idx.segments.where(pred).collect()
-        .groupBy(b => (b.field, b.term))
-        .view.mapValues(_.sortBy(b => (b.shard, b.first_doc))).toMap
-      missing.foreach { ft =>
-        termBlocks.put(ft, fetched.getOrElse(ft, Array.empty))
+    val hits = fts.flatMap(ft => Option(termBlocks.get(ft)).map(ft -> _)).toMap
+    val missing = fts.filterNot(hits.contains)
+    val fetched: Map[(String, String), Array[SegmentBlock]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val pred = missing.map { case (f, t) =>
+          col("field") === f && col("term") === t
+        }.reduce(_ || _)
+        val got = idx.segments.where(pred).collect()
+          .groupBy(b => (b.field, b.term))
+          .view.mapValues(_.sortBy(b => (b.shard, b.first_doc))).toMap
+        val withEmpties = missing.map(ft =>
+          ft -> got.getOrElse(ft, Array.empty[SegmentBlock])).toMap
+        withEmpties.foreach { case (ft, bl) => termBlocks.put(ft, bl) }
+        withEmpties
       }
-    }
-    fts.map(ft => ft -> termBlocks.get(ft)).toMap
+    hits ++ fetched
   }
 
   private def docsFor(ids: Seq[Long])
       : Map[Long, (String, String, String, String)] = synchronized {
-    val missing = ids.filterNot(docRows.containsKey)
-    if (missing.nonEmpty) {
-      idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
-        .select("doc_id", "repo", "path", "lang", "content").collect()
-        .foreach { r =>
-          docRows.put(r.getLong(0),
-            (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
-        }
-    }
-    ids.flatMap(id => Option(docRows.get(id)).map(id -> _)).toMap
+    val hits = ids.flatMap(id => Option(docRows.get(id)).map(id -> _)).toMap
+    val missing = ids.filterNot(hits.contains)
+    val fetched: Map[Long, (String, String, String, String)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
+          .select("doc_id", "repo", "path", "lang", "content").collect()
+          .map { r =>
+            r.getLong(0) ->
+              (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+          }.toMap
+        got.foreach { case (id, row) => docRows.put(id, row) }
+        got
+      }
+    hits ++ fetched
   }
 
   /** Warm top-k search. Exact-term AND queries run block-max WAND over

@@ -266,6 +266,24 @@ class FtsRound2Spec extends AnyFunSuite {
       idx.searchCollected(fz).map(_.doc_id))
   }
 
+  test("query cache: LRU capacity eviction keeps results correct") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    // capacity of 2 terms / 3 docs forces constant eviction
+    val cache = new graft.query.FtsQueryCache(idx, maxTerms = 2, maxDocs = 3)
+    val queries = Seq("def", "merge", "authenticate", "def", "merge")
+    queries.foreach { text =>
+      val q = FtsQuery(text, limit = 5)
+      val c = cache.search(q)
+      val e = idx.searchCollected(q)
+      assert(c.map(_.doc_id) === e.map(_.doc_id),
+        s"after eviction churn, query <$text>")
+      c.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a.score - b.score) < 1e-9, s"score for <$text>")
+      }
+    }
+  }
+
   test("bulk upsert: sharded, deterministic doc-id assignment") {
     val batch = (1 to 40).map(i => Fixtures.Doc("test_repo", s"bulk/f_$i.py",
       i.toString * 40, "python", s"def bulk_$i(): return $i", Nil))
