@@ -94,6 +94,13 @@ object FtsDeltas {
     docs.write.mode("overwrite").parquet(s"$dDir/docs")
 
     val written = spark.read.parquet(s"$dDir/docs")
+    // rank overflow guard: doc_id packs row_number into 28 bits per
+    // sub-shard. A batch smaller than 2^28 rows can't overflow ANY
+    // sub-shard's rank space (ADVICE r02 #4); checked on the cheap count
+    // of what was just written, before segments are built.
+    require(written.count() < (1L << 28),
+      "delta upsert batch exceeds the 2^28-docs-per-generation id space; " +
+        "split the batch or run a full rebuild")
     writeDeltaSegments(spark, written, dDir, gen, cfg)
 
     written.select(col("repo"), col("path"), lit(gen).as("gen"))

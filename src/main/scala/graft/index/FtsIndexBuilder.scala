@@ -343,15 +343,20 @@ object FtsIndexBuilder {
     @inline def emit(endExcl: Int): Unit = {
       val len = endExcl - start
       if (len <= Tokenizer.MaxTokenLen) {
-        // raw + lowercase hashes in one pass over the token chars
+        // raw + lowercase hashes in one pass over the token chars;
+        // sawUpper tracks "raw form differs from lowered form" EXACTLY
+        // (a hash comparison was only a proxy — ADVICE r02 #2)
         var ascii = true
+        var sawUpper = false
         var hRaw = 0
         var hLow = 0
         var j = 0
         while (j < len) {
           val c = text.charAt(start + j)
           if (c >= 128) ascii = false
-          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          val lc =
+            if (c >= 'A' && c <= 'Z') { sawUpper = true; (c + 32).toChar }
+            else c
           buf(j) = lc
           hRaw = hRaw * 31 + c
           hLow = hLow * 31 + lc
@@ -361,7 +366,7 @@ object FtsIndexBuilder {
           cMap.getOrInsert(buf, len, hLow).add(pos)
           if (rMap != null) {
             // reuse buf for the raw form only if it differs
-            if (hRaw == hLow) rMap.getOrInsert(buf, len, hRaw).add(pos)
+            if (!sawUpper) rMap.getOrInsert(buf, len, hRaw).add(pos)
             else {
               var k = 0
               while (k < len) { buf(k) = text.charAt(start + k); k += 1 }

@@ -194,7 +194,7 @@ class FtsIndex(spark: SparkSession, root: String) {
 
   import FtsIndex._
 
-  private def validate(q: FtsQuery): Unit = {
+  private[query] def validate(q: FtsQuery): Unit = {
     if (q.useRegex && q.editDistance > 0)
       throw new IllegalArgumentException(
         "Cannot combine regex matching with fuzzy matching (edit_distance > 0)")
@@ -383,8 +383,18 @@ class FtsIndex(spark: SparkSession, root: String) {
     val chunked = effectiveDocs.columns.contains("line_start")
 
     val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
+    // With delta generations, tombstoned docs still have postings in the
+    // segments; they must not occupy top-k slots (they'd be dropped by the
+    // content join below, returning < k rows and hiding alive docs ranked
+    // past them — ADVICE r02 #1). Semi-join against the alive set BEFORE
+    // the limit; the delta-free fast path keeps the bare top-k.
+    val aliveScored =
+      if (hasDeltas)
+        scored.join(effectiveDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      else scored
     val topScored: DataFrame =
-      if (!q.hasFilters) scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      if (!q.hasFilters)
+        aliveScored.orderBy(desc("score"), asc("doc_id")).limit(k)
       else {
         val metaCols = Seq("doc_id", "path", "lang") ++
           (if (chunked) Seq("line_start", "line_end") else Nil)
@@ -498,6 +508,9 @@ class FtsIndex(spark: SparkSession, root: String) {
     if (!simple || q.hasFilters || deltaDirs.nonEmpty)
       return searchCollected(q)
     val k = if (q.limit == 0) 100000 else q.limit
+    // limit=0 forces snippets off, like search() and the reference
+    // (tantivy_index_manager.py:549-553) — ADVICE r02 #3
+    val snippetLines = if (q.limit == 0) 0 else q.snippetLines
 
     val pred = termPredicate(nodes)
     val idfs: Map[(String, String), Double] = dict.where(pred)
@@ -536,7 +549,7 @@ class FtsIndex(spark: SparkSession, root: String) {
         val m = Snippets.findMatch(content, text, q.caseSensitive, 0)
         m match {
           case Some(mm) =>
-            val e = Snippets.extractSnippet(content, mm.start, q.snippetLines)
+            val e = Snippets.extractSnippet(content, mm.start, snippetLines)
             SearchResult(id, r.getString(1), r.getString(2), e.line, e.column,
               mm.text, e.snippet, e.snippetStartLine, r.getString(3), sc)
           case None =>

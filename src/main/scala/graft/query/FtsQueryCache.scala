@@ -101,12 +101,16 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     * cached blocks on the driver; anything else falls back to the cluster
     * scorer ([[FtsIndex.searchWand]], which itself falls back further). */
   def search(q: FtsQuery): Seq[SearchResult] = {
+    idx.validate(q) // same parameter contract as the cluster path
     val nodes = buildNodesLocal(q)
     val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
       nodes.forall(_.alts.forall(_.isInstanceOf[TermQ])) &&
       !q.hasFilters && !idx.hasDeltas
     if (!simple) return idx.searchWand(q)
     val k = if (q.limit == 0) 100000 else q.limit
+    // limit=0 forces snippets off, mirroring FtsIndex.search and the
+    // reference (tantivy_index_manager.py:549-553)
+    val snippetLines = if (q.limit == 0) 0 else q.snippetLines
 
     val fts = nodes.flatMap(_.alts.collect { case TermQ(f, t) => (f, t) })
     val blocks = blocksFor(fts.distinct)
@@ -148,7 +152,7 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
         val m = Snippets.findMatch(content, q.text, q.caseSensitive, 0)
         m match {
           case Some(mm) =>
-            val e = Snippets.extractSnippet(content, mm.start, q.snippetLines)
+            val e = Snippets.extractSnippet(content, mm.start, snippetLines)
             SearchResult(s.doc, repo, path, e.line, e.column, mm.text,
               e.snippet, e.snippetStartLine, lang, s.score)
           case None =>
