@@ -42,6 +42,8 @@ object SparkEntry {
     "fts_engine_limit0" -> Queries.engineLimit0,
     "fts_engine_prod_single" -> Queries.engineProdSingle,
     "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
+    "fts_engine_fuzzy" -> Queries.engineFuzzy,
+    "fts_engine_regex" -> Queries.engineRegex,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
 
   def oracleSql: Map[String, String] =
@@ -224,6 +226,29 @@ object Queries {
   val engineProdPhrase: (SparkSession, String) => DataFrame = (s, dir) =>
     engineProdTopK(s, dir, "import_os")
 
+  /** Fuzzy query END TO END through the engine: "42" at damerau distance 1
+    * expands over the dictionary (multi-term: the numeric tokens) into an
+    * OR-of-terms node whose per-doc score sums every matched term's BM25 —
+    * verified against DuckDB's damerau_levenshtein expansion. */
+  val engineFuzzy: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineIndex(s, dir)
+      .search(FtsQuery("42", editDistance = 1, snippetLines = 0, limit = 10))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+
+  /** Regex query end to end: token-level full-match expansion over the
+    * dictionary ((mer|sor).* -> {merge, sort}), OR-of-terms scoring. */
+  val engineRegex: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineIndex(s, dir)
+      .search(FtsQuery("(mer|sor).*", useRegex = true, snippetLines = 0,
+        limit = 10))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+
   /** Same query through the block-max WAND scorer — the pruned path must
     * be DuckDB-identical to the exhaustive SQL. */
   val engineWand: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -258,6 +283,25 @@ object OracleQueries {
        |stats AS (
        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
        |)""".stripMargin
+
+  /** OR-of-expanded-terms BM25 (single query node): per-doc sum over every
+    * dictionary term selected by `termPred` — the oracle twin of fuzzy and
+    * regex expansion. */
+  private def expandedOrTopK(termPred: String, k: Int): String =
+    s"""$base
+       |SELECT doc_id, round(score, 4) AS score FROM (
+       |  SELECT p.doc_id,
+       |    sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+       |  FROM postings p
+       |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+       |  JOIN doclen l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  WHERE $termPred
+       |  GROUP BY 1
+       |)
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
 
   private def bm25TopK(termsSqlList: String, nTerms: Int, k: Int): String =
     s"""$base
@@ -550,5 +594,9 @@ object OracleQueries {
          |LIMIT 10""".stripMargin,
     "fts_engine_and" -> bm25TopK("'merge', 'sort'", 2, 10),
     "fts_engine_wand" -> bm25TopK("'merge', 'sort'", 2, 10),
+    "fts_engine_fuzzy" ->
+      expandedOrTopK("damerau_levenshtein(p.term, '42') <= 1", 10),
+    "fts_engine_regex" ->
+      expandedOrTopK("regexp_full_match(p.term, '(mer|sor).*')", 10),
   )
 }

@@ -47,6 +47,24 @@ object Distance {
     }
     prev(lb)
   }
+
+  /** 64-bit character-class bitmap of a string (codepoint & 63 per char).
+    * Stored per dictionary term at build time; a NECESSARY condition for
+    * damerauBounded(t, w, d) <= d is
+    * `bit_count(charMask(t) & ~charMask(w)) <= d` — every edit introduces
+    * at most one character class into `t` that `w` lacks (a transposition
+    * introduces none). Used as a codegen-able dict prefilter so fuzzy
+    * expansion does not run the O(len^2) UDF over the whole dictionary. */
+  def charMask(s: String): Long = {
+    var m = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      m |= (1L << (cp & 63))
+      i += Character.charCount(cp)
+    }
+    m
+  }
 }
 
 /** gitwildmatch-style glob -> Java regex compilation, for the reference's

@@ -132,9 +132,11 @@ object FtsDeltas {
       .mapPartitions(it =>
         FtsIndexBuilder.encodeRunPartition(it, cfg.blockSize))
       .write.mode("overwrite").parquet(s"$dDir/segments")
+    val cmaskU = udf((t: String) => graft.functions.Distance.charMask(t))
     spark.read.parquet(s"$dDir/segments")
       .groupBy("field", "term")
       .agg(sum("n").as("df"), sum("sum_tf").as("cf"))
+      .withColumn("cmask", cmaskU(col("term")))
       .write.mode("overwrite").parquet(s"$dDir/dict")
   }
 

@@ -179,9 +179,14 @@ object FtsIndexBuilder {
       spark.read.parquet(s"$vDir/docstats")
         .agg(sum("n_docs")).collect()(0).getLong(0))
     val tFin = System.nanoTime()
+    // cmask = 64-bit character-class bitmap of the term, the fuzzy-expansion
+    // prefilter (see Distance.charMask) — computed once per distinct term
+    // here instead of per query over the whole dictionary
+    val cmaskU = udf((t: String) => graft.functions.Distance.charMask(t))
     spark.read.parquet(s"$vDir/segments/*")
       .groupBy("field", "term")
       .agg(sum("n").as("df"), sum("sum_tf").as("cf"))
+      .withColumn("cmask", cmaskU($"term"))
       .repartition(cfg.segmentPartitions / 2 max 1, $"field", $"term")
       .sortWithinPartitions("field", "term")
       .write.mode("overwrite").parquet(s"$vDir/dict")

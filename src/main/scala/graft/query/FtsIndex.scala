@@ -117,10 +117,21 @@ class FtsIndex(spark: SparkSession, root: String) {
   val dict: DataFrame = {
     val paths = s"$versionDir/dict" +: deltaSub("dict")
     if (paths.length == 1) spark.read.parquet(paths.head)
-    else spark.read.parquet(paths: _*)
-      .groupBy("field", "term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"))
+    else {
+      // harmonize schemas (an old base dict may predate the cmask column)
+      val parts = paths.map(spark.read.parquet(_)).map { d =>
+        if (d.columns.contains("cmask")) d
+        else d.withColumn("cmask", lit(null).cast("long"))
+      }
+      parts.reduce(_.unionByName(_))
+        .groupBy("field", "term")
+        .agg(sum("df").as("df"), sum("cf").as("cf"),
+          max("cmask").as("cmask"))
+    }
   }
+
+  /** Whether the dictionary carries the fuzzy-prefilter bitmap column. */
+  private lazy val dictHasCmask: Boolean = dict.columns.contains("cmask")
 
   /** (repo, path, gen) delete markers across all deltas. */
   val tombstones: Option[DataFrame] = {
@@ -215,7 +226,7 @@ class FtsIndex(spark: SparkSession, root: String) {
     }
   }
 
-  private def buildNodes(q: FtsQuery): Seq[Node] = {
+  private[query] def buildNodes(q: FtsQuery): Seq[Node] = {
     val searchField = if (q.caseSensitive) FieldRaw else FieldContent
     if (q.useRegex) {
       Seq(Node(Seq(RegexQ(searchField, q.text))))
@@ -241,6 +252,74 @@ class FtsIndex(spark: SparkSession, root: String) {
         }
       }
     }
+  }
+
+  /** Expand fuzzy/regex alternatives over the term DICTIONARY into concrete
+    * term sets — the Spark analog of the reference's automaton walk over
+    * Tantivy's FST term dictionary (tantivy_index_manager.py:347-374 fuzzy,
+    * :492-505 regex). One dict job covers every dynamic alternative of the
+    * query; matched terms replace the alternative as plain [[TermQ]]s, so
+    * everything downstream (codegen exact scorer, block-max WAND, the
+    * driver cache) sees only exact terms, and the SEGMENTS scan is pruned
+    * by a pushable isin predicate instead of running a UDF over every
+    * block.
+    *
+    * The dict scan itself is bounded by cheap codegen prefilters before the
+    * O(len^2) Damerau UDF runs: the existing length band plus
+    * `bit_count(cmask & ~charMask(word)) <= d` — every edit introduces at
+    * most one character class the query word lacks (a transposition none),
+    * so the bitmap test is a necessary condition for distance <= d. */
+  private[query] def expandNodes(nodes: Seq[Node]): Seq[Node] = {
+    val dyn = nodes.flatMap(_.alts).collect {
+      case f: FuzzyQ => f: FieldQ
+      case r: RegexQ => r: FieldQ
+    }.distinct
+    if (dyn.isEmpty) return nodes
+    val expanded = expandAlts(dyn)
+    nodes.map { nd =>
+      Node(nd.alts.flatMap {
+        case a: FuzzyQ => expanded(a)
+        case a: RegexQ => expanded(a)
+        case a => Seq(a)
+      })
+    }
+  }
+
+  /** Dictionary expansion of dynamic (fuzzy/regex) alternatives: one Spark
+    * job for all of them, then exact driver-side re-check to attribute the
+    * matched terms to each alternative. Returned term lists are sorted for
+    * determinism. */
+  private[query] def expandAlts(dyn: Seq[FieldQ]): Map[FieldQ, Seq[TermQ]] = {
+    val damerauLe = udf((t: String, w: String, d: Int) =>
+      Distance.damerauBounded(t, w, d) <= d)
+    val preds = dyn.map {
+      case FuzzyQ(f, w, d) =>
+        var p = col("field") === f &&
+          abs(length(col("term")) - lit(w.length)) <= d
+        if (dictHasCmask)
+          p = p && bit_count(col("cmask")
+            .bitwiseAND(lit(~Distance.charMask(w)))) <= d
+        p && damerauLe(col("term"), lit(w), lit(d))
+      case RegexQ(f, pat) =>
+        col("field") === f && col("term").rlike(s"^(?:$pat)$$")
+      case _ => lit(false)
+    }
+    val rows = dict.where(preds.reduce(_ || _))
+      .select("field", "term").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    dyn.map { a =>
+      a -> (a match {
+        case FuzzyQ(f, w, d) =>
+          rows.iterator.filter(r => r._1 == f &&
+              Distance.damerauBounded(r._2, w, d) <= d)
+            .map(r => TermQ(f, r._2)).toSeq.sortBy(_.term)
+        case RegexQ(f, pat) =>
+          val re = java.util.regex.Pattern.compile(s"^(?:$pat)$$")
+          rows.iterator.filter(r => r._1 == f && re.matcher(r._2).matches())
+            .map(r => TermQ(f, r._2)).toSeq.sortBy(_.term)
+        case _ => Nil
+      })
+    }.toMap
   }
 
   /** Predicate over (field, term) used to prune both the segment scan and
@@ -382,7 +461,7 @@ class FtsIndex(spark: SparkSession, root: String) {
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
     val chunked = effectiveDocs.columns.contains("line_start")
 
-    val scored = scoreDocs(buildNodes(q)).toDF("doc_id", "score")
+    val scored = scoreDocs(expandNodes(buildNodes(q))).toDF("doc_id", "score")
     // With delta generations, tombstoned docs still have postings in the
     // segments; they must not occupy top-k slots (they'd be dropped by the
     // content join below, returning < k rows and hiding alive docs ranked
@@ -502,7 +581,10 @@ class FtsIndex(spark: SparkSession, root: String) {
     * differential spec. */
   def searchWand(q: FtsQuery): Seq[SearchResult] = {
     validate(q)
-    val nodes = buildNodes(q)
+    // fuzzy/regex expand to exact term sets first, so they ride the
+    // pruned WAND path too (the reference daemon serves every query shape
+    // from its warm index)
+    val nodes = expandNodes(buildNodes(q))
     val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
       nodes.forall(_.alts.forall(_.isInstanceOf[TermQ]))
     if (!simple || q.hasFilters || deltaDirs.nonEmpty)
@@ -546,7 +628,8 @@ class FtsIndex(spark: SparkSession, root: String) {
       val id = r.getLong(0)
       scores.get(id).map { sc =>
         val content = r.getString(4)
-        val m = Snippets.findMatch(content, text, q.caseSensitive, 0)
+        val m = Snippets.findMatch(content, text, q.caseSensitive,
+          q.editDistance)
         m match {
           case Some(mm) =>
             val e = Snippets.extractSnippet(content, mm.start, snippetLines)

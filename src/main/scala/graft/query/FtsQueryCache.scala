@@ -2,61 +2,92 @@ package graft.query
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.PathGlob
 import graft.index.FtsSchema._
 
 /** Driver-side warm-query cache — the reference daemon's in-process warm
   * index analog (daemon/cache.py:82-383 "5-50x speedup for repeated
-  * queries"; server/cache/fts_index_cache.py TTL/size-bounded cache).
+  * queries"; server/cache/fts_index_cache.py TTL/size-bounded cache). The
+  * reference serves EVERY query shape from that warm cache; this layer
+  * does the same for exact, fuzzy, regex, phrase and language/path-filtered
+  * queries (line-range filters and delta-carrying snapshots go to the
+  * cluster path).
   *
   * The cluster-side [[FtsIndex]] is the source of truth; this layer keeps
-  * an LRU of QUERY-TOUCHED posting blocks and doc rows on the driver:
-  *   - first use of a term runs ONE pruned Spark job fetching its segment
-  *     blocks (Parquet term-predicate pushdown keeps that job tiny);
-  *   - subsequent queries whose terms and result docs are hot answer
-  *     entirely on the driver — block-max WAND over cached blocks, zero
-  *     Spark jobs — in single-digit milliseconds;
-  *   - capacity bounds (maxTerms blocks, maxDocs rows) make this safe
-  *     against a 100 TB index: only what queries touch ever reaches
-  *     driver memory, and the reference's interactive regime (a daemon
-  *     hammering a hot working set) is exactly the hit case.
+  * LRUs of QUERY-TOUCHED state on the driver:
+  *   - posting blocks per (field, term) — loaded by ONE pruned Spark job on
+  *     first use (Parquet term-predicate pushdown keeps that job tiny);
+  *   - df per (field, term) from the dictionary — consulted BEFORE any
+  *     block fetch: a term whose posting list exceeds `maxDfCached`
+  *     (stopword-grade, df ~ N) is never collected to the driver; the
+  *     whole query routes to the cluster WAND path instead. This is what
+  *     makes the cache safe against a 100 TB index — the df lookup is a
+  *     dictionary point query, and only bounded posting lists ever land in
+  *     driver memory.
+  *   - fuzzy/regex dictionary expansions per alternative;
+  *   - doc metadata (repo/path/lang) and doc content rows by doc_id.
   *
-  * df comes from the blocks themselves (each posting is one doc, so
-  * df = Σ n over a term's blocks — identical to the dict's base+delta
-  * sum); N/avgdl come from the owning [[FtsIndex]]. The cache is pinned
-  * to one index snapshot: it checks [[FtsIndex.fingerprint]] never
-  * changed and must be rebuilt after upserts (pair it with
-  * [[ReloadingFtsIndex]] for that).
+  * Subsequent queries whose state is hot answer entirely on the driver —
+  * block-max WAND (or the exact phrase scorer) over cached blocks, zero
+  * Spark jobs — in single-digit milliseconds.
   *
-  * Supported directly: multi-word exact-term AND queries (the WAND shape).
-  * Fuzzy/regex/phrase/filter queries fall back to the cluster path.
+  * Filtered queries run WAND with an over-pull, then apply the reference's
+  * filter precedence (lang-excl, lang-incl, path-excl, path-incl —
+  * tantivy_index_manager.py:642-678) driver-side and re-pull with a larger
+  * k until k results survive or the match stream is exhausted — EXACT
+  * filter-then-top-k semantics (the reference's own daemon overfetches x3
+  * and accepts recall loss; we grow until exact, and fall back to the
+  * cluster beyond `maxOverpull` candidates).
+  *
+  * The cache is pinned to one index snapshot ([[FtsIndex.fingerprint]]);
+  * pair it with [[ReloadingFtsIndex]] to swap after upserts.
   */
 class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
-                    maxDocs: Int = 16384) {
+                    maxDocs: Int = 16384, maxDfCached: Long = 262144,
+                    maxOverpull: Int = 16384) {
   import FtsIndex._
 
+  private def lru[K, V](cap: Int) =
+    new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > cap
+    }
+
   /** LRU (field, term) -> blocks sorted by (shard, first_doc). */
-  private val termBlocks =
-    new java.util.LinkedHashMap[(String, String), Array[SegmentBlock]](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Array[SegmentBlock]]): Boolean =
-        size() > maxTerms
-    }
+  private val termBlocks = lru[(String, String), Array[SegmentBlock]](maxTerms)
 
-  /** LRU doc_id -> (repo, path, lang, content). */
-  private val docRows =
-    new java.util.LinkedHashMap[Long, (String, String, String, String)](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, (String, String, String, String)]): Boolean =
-        size() > maxDocs
-    }
+  /** LRU (field, term) -> df from the dictionary (the block-fetch gate). */
+  private val termDfs = lru[(String, String), Long](maxTerms * 4)
 
-  /** Fetch-or-load blocks for all (field, term) pairs; ONE Spark job for
-    * all misses together. The returned map is built from hits + freshly
-    * fetched rows directly — correctness never depends on what survives
-    * the capacity-bounded LRU (a working set larger than maxTerms only
-    * loses the caching benefit, not results). */
+  /** LRU fuzzy/regex alternative -> expanded term list. */
+  private val expansions = lru[FieldQ, Seq[TermQ]](256)
+
+  /** LRU doc_id -> (repo, path, lang) — the filter columns. */
+  private val metaRows = lru[Long, (String, String, String)](maxDocs * 4)
+
+  /** LRU doc_id -> content — fetched only for FINAL top-k rows. */
+  private val contentRows = lru[Long, String](maxDocs)
+
+  /** df per (field, term), dictionary-backed; ONE Spark job for all misses. */
+  private def dfsFor(fts: Seq[(String, String)])
+      : Map[(String, String), Long] = synchronized {
+    val hits = fts.flatMap(ft => Option(termDfs.get(ft)).map(ft -> _.toLong)).toMap
+    val missing = fts.filterNot(hits.contains)
+    if (missing.isEmpty) return hits
+    val pred = missing.map { case (f, t) =>
+      col("field") === f && col("term") === t
+    }.reduce(_ || _)
+    val got = idx.dict.where(pred).select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val withZeros = missing.map(ft => ft -> got.getOrElse(ft, 0L)).toMap
+    withZeros.foreach { case (ft, df) => termDfs.put(ft, df) }
+    hits ++ withZeros
+  }
+
+  /** Fetch-or-load blocks for (field, term) pairs; ONE Spark job for all
+    * misses together. Callers must have df-gated the pairs already. The
+    * returned map is built from hits + freshly fetched rows directly —
+    * correctness never depends on what survives the LRU. */
   private def blocksFor(fts: Seq[(String, String)])
       : Map[(String, String), Array[SegmentBlock]] = synchronized {
     val hits = fts.flatMap(ft => Option(termBlocks.get(ft)).map(ft -> _)).toMap
@@ -78,55 +109,169 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     hits ++ fetched
   }
 
-  private def docsFor(ids: Seq[Long])
-      : Map[Long, (String, String, String, String)] = synchronized {
-    val hits = ids.flatMap(id => Option(docRows.get(id)).map(id -> _)).toMap
+  private def metaFor(ids: Seq[Long])
+      : Map[Long, (String, String, String)] = synchronized {
+    val hits = ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
     val missing = ids.filterNot(hits.contains)
-    val fetched: Map[Long, (String, String, String, String)] =
-      if (missing.isEmpty) Map.empty
-      else {
-        val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
-          .select("doc_id", "repo", "path", "lang", "content").collect()
-          .map { r =>
-            r.getLong(0) ->
-              (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
-          }.toMap
-        got.foreach { case (id, row) => docRows.put(id, row) }
-        got
-      }
-    hits ++ fetched
+    if (missing.isEmpty) return hits
+    val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
+      .select("doc_id", "repo", "path", "lang").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    got.foreach { case (id, row) => metaRows.put(id, row) }
+    hits ++ got
   }
 
-  /** Warm top-k search. Exact-term AND queries run block-max WAND over
-    * cached blocks on the driver; anything else falls back to the cluster
-    * scorer ([[FtsIndex.searchWand]], which itself falls back further). */
-  def search(q: FtsQuery): Seq[SearchResult] = {
-    idx.validate(q) // same parameter contract as the cluster path
-    val nodes = buildNodesLocal(q)
-    val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
-      nodes.forall(_.alts.forall(_.isInstanceOf[TermQ])) &&
-      !q.hasFilters && !idx.hasDeltas
-    if (!simple) return idx.searchWand(q)
-    val k = if (q.limit == 0) 100000 else q.limit
-    // limit=0 forces snippets off, mirroring FtsIndex.search and the
-    // reference (tantivy_index_manager.py:549-553)
-    val snippetLines = if (q.limit == 0) 0 else q.snippetLines
+  private def contentFor(ids: Seq[Long]): Map[Long, String] = synchronized {
+    val hits = ids.flatMap(id => Option(contentRows.get(id)).map(id -> _)).toMap
+    val missing = ids.filterNot(hits.contains)
+    if (missing.isEmpty) return hits
+    val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
+      .select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, c) => contentRows.put(id, c) }
+    hits ++ got
+  }
 
-    val fts = nodes.flatMap(_.alts.collect { case TermQ(f, t) => (f, t) })
-    val blocks = blocksFor(fts.distinct)
-    val dfOf: Map[(String, String), Long] =
-      blocks.view.mapValues(_.map(_.n.toLong).sum).toMap
-    val idfs = dfOf.map { case (ft, df) =>
+  /** Expand fuzzy/regex alternatives, LRU-cached; cluster dict job on miss
+    * (via [[FtsIndex.expandAlts]] — the same expansion the cluster path
+    * runs, so results are identical by construction). */
+  private def expandLocal(nodes: Seq[Node]): Seq[Node] = synchronized {
+    val dyn = nodes.flatMap(_.alts).collect {
+      case f: FuzzyQ => f: FieldQ
+      case r: RegexQ => r: FieldQ
+    }.distinct
+    if (dyn.isEmpty) return nodes
+    val missing = dyn.filter(a => !expansions.containsKey(a))
+    if (missing.nonEmpty)
+      idx.expandAlts(missing).foreach { case (a, ts) => expansions.put(a, ts) }
+    nodes.map { nd =>
+      Node(nd.alts.flatMap {
+        case a: FuzzyQ => expansions.get(a)
+        case a: RegexQ => expansions.get(a)
+        case a => Seq(a)
+      })
+    }
+  }
+
+  /** The reference's post-filter precedence (Q5-Q8), driver-side mirror of
+    * FtsIndex.search's filtered branch (incl. the facet-vs-extension
+    * expansion quirk). */
+  private def passesFilters(q: FtsQuery, lang: String,
+                            pathMatch: String => Boolean,
+                            pathExcl: String => Boolean,
+                            path: String): Boolean = {
+    if (q.excludeLanguages.nonEmpty) {
+      val excl = LanguageMap.extensions(q.excludeLanguages)
+      if (excl.contains(lang)) return false
+      if (q.languages.nonEmpty &&
+          !LanguageMap.extensions(q.languages).contains(lang)) return false
+    } else if (q.languages.nonEmpty && !q.languages.contains(lang))
+      return false
+    if (q.excludePathFilters.nonEmpty && pathExcl(path)) return false
+    if (q.pathFilters.nonEmpty && !pathMatch(path)) return false
+    true
+  }
+
+  /** Warm top-k search over cached state; see class doc for the supported
+    * shapes. Falls back to [[FtsIndex.searchWand]] (which falls back
+    * further) whenever a shape or budget rules the driver path out. */
+  def search(q: FtsQuery): Seq[SearchResult] = {
+    idx.validate(q)
+    if (idx.hasDeltas || q.minLine.isDefined || q.maxLine.isDefined)
+      return idx.searchWand(q)
+    val nodes = expandLocal(buildNodes(q))
+    if (nodes.isEmpty) return Nil
+    if (nodes.exists(_.alts.isEmpty)) return Nil // AND: unmatched word
+    val fts = nodes.flatMap(_.alts.flatMap {
+      case TermQ(f, t) => Seq((f, t))
+      case PhraseQ(f, ts) => ts.map((f, _))
+      case _ => Nil
+    }).distinct
+
+    // the block-fetch gate: any stopword-grade term routes the query to
+    // the cluster (its posting list must never be collected to the driver)
+    val dfs = dfsFor(fts)
+    if (dfs.valuesIterator.exists(_ > maxDfCached)) return idx.searchWand(q)
+
+    val k = if (q.limit == 0) 100000 else q.limit
+    val snippetLines = if (q.limit == 0) 0 else q.snippetLines
+    val blocks = blocksFor(fts)
+    val idfs = dfs.map { case (ft, df) =>
       ft -> (if (df == 0) 0.0
              else math.log(1.0 + (idx.nDocs - df + 0.5) / (df + 0.5)))
     }
-    val groupSpec = nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
-    val shards = blocks.values.flatten.map(_.shard).toSeq.distinct.sorted
+    val hasPhrase = nodes.exists(_.alts.exists(_.isInstanceOf[PhraseQ]))
 
-    // shards run sequentially on the driver, so the θ floor carries over:
-    // once k docs are collected, later shards prune against the global
-    // kth-best (nextDown keeps exact-score ties alive for the doc_id
-    // tie-break) — the cross-shard pruning the distributed path cannot do
+    // full sorted match list for phrase shapes (exhaustive over the small,
+    // df-gated posting sets); lazy WAND pulls otherwise
+    def pullTopK(kk: Int): (Seq[Wand.Scored], Boolean) =
+      if (hasPhrase) {
+        val all = scorePhraseLocal(nodes, blocks, dfs)
+        (all.take(kk), all.size <= kk)
+      } else {
+        val groupSpec = nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
+        val got = wandLocal(groupSpec, blocks, idfs, kk)
+        (got, got.size < kk)
+      }
+
+    val top: Seq[Wand.Scored] =
+      if (!q.hasFilters) pullTopK(k)._1
+      else {
+        val pathMatch = PathGlob.anyMatcher(q.pathFilters)
+        val pathExcl = PathGlob.anyMatcher(q.excludePathFilters)
+        var kk = math.max(3 * k, 30)
+        var out: Option[Seq[Wand.Scored]] = None
+        while (out.isEmpty) {
+          val (cands, exhausted) = pullTopK(kk)
+          val meta = metaFor(cands.map(_.doc))
+          val kept = cands.filter { s =>
+            meta.get(s.doc).exists { case (_, path, lang) =>
+              passesFilters(q, lang, pathMatch, pathExcl, path)
+            }
+          }
+          if (kept.size >= k || exhausted) out = Some(kept.take(k))
+          else if (kk >= maxOverpull) return idx.searchWand(q)
+          else kk *= 4
+        }
+        out.get
+      }
+    if (top.isEmpty) return Nil
+
+    val meta = metaFor(top.map(_.doc))
+    val content = contentFor(top.map(_.doc))
+    top.flatMap { s =>
+      meta.get(s.doc).map { case (repo, path, lang) =>
+        val c = content.getOrElse(s.doc, "")
+        val m =
+          if (q.useRegex) {
+            val flags =
+              if (q.caseSensitive) 0
+              else java.util.regex.Pattern.CASE_INSENSITIVE
+            Snippets.findRegexMatch(c,
+              java.util.regex.Pattern.compile(q.text, flags))
+          } else Snippets.findMatch(c, q.text, q.caseSensitive, q.editDistance)
+        m match {
+          case Some(mm) =>
+            val e = Snippets.extractSnippet(c, mm.start, snippetLines)
+            SearchResult(s.doc, repo, path, e.line, e.column, mm.text,
+              e.snippet, e.snippetStartLine, lang, s.score)
+          case None =>
+            SearchResult(s.doc, repo, path, 1, 1, q.text, "", 1, lang, s.score)
+        }
+      }
+    }.sortBy(r => (-r.score, r.doc_id))
+  }
+
+  /** Driver WAND over cached blocks: shards run sequentially so the θ
+    * floor carries across them — the cross-shard pruning the distributed
+    * path cannot do (nextDown keeps exact-score ties alive for the doc_id
+    * tie-break). */
+  private def wandLocal(groupSpec: Seq[Seq[(String, String)]],
+                        blocks: Map[(String, String), Array[SegmentBlock]],
+                        idfs: Map[(String, String), Double],
+                        k: Int): Seq[Wand.Scored] = {
+    val shards = blocks.values.flatten.map(_.shard).toSeq.distinct.sorted
     val collected = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]
     var floor = 0.0
     shards.foreach { sh =>
@@ -143,42 +288,67 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
         }
       }
     }
-    val top = collected.sortBy(s => (-s.score, s.doc)).take(k).toSeq
-    if (top.isEmpty) return Nil
-
-    val meta = docsFor(top.map(_.doc))
-    top.flatMap { s =>
-      meta.get(s.doc).map { case (repo, path, lang, content) =>
-        val m = Snippets.findMatch(content, q.text, q.caseSensitive, 0)
-        m match {
-          case Some(mm) =>
-            val e = Snippets.extractSnippet(content, mm.start, snippetLines)
-            SearchResult(s.doc, repo, path, e.line, e.column, mm.text,
-              e.snippet, e.snippetStartLine, lang, s.score)
-          case None =>
-            SearchResult(s.doc, repo, path, 1, 1, q.text, "", 1, lang, s.score)
-        }
-      }
-    }.sortBy(r => (-r.score, r.doc_id))
+    collected.sortBy(s => (-s.score, s.doc)).take(k).toSeq
   }
 
-  /** Same node construction as FtsIndex (kept private there; rebuilt here
-    * from the same Tokenizer primitives). */
-  private def buildNodesLocal(q: FtsQuery): Seq[Node] = {
-    if (q.useRegex || q.editDistance > 0) return Seq(Node(Nil)) // fallback
-    val searchField = if (q.caseSensitive) FieldRaw else FieldContent
-    q.text.split("\\s+").filter(_.nonEmpty).toSeq.map { w =>
-      val alts = Seq(searchField, FieldIdent).flatMap { f =>
-        val toks =
-          if (f == FieldRaw) graft.analysis.Tokenizer.tokenizeRaw(w)
-          else graft.analysis.Tokenizer.tokenize(w)
-        toks match {
-          case Seq() => None
-          case Seq(t) => Some(TermQ(f, t))
-          case _ => Some(PhraseQ(f, toks)) // triggers fallback
+  /** Exhaustive driver scorer for phrase-bearing queries: decode the
+    * (df-gated) posting lists WITH positions and evaluate candidates with
+    * the cluster's own [[FtsIndex.scoreDoc]] — identical semantics by
+    * construction. Returns ALL matches sorted (score desc, doc asc). */
+  private def scorePhraseLocal(nodes: Seq[Node],
+                               blocks: Map[(String, String), Array[SegmentBlock]],
+                               dfs: Map[(String, String), Long])
+      : Seq[Wand.Scored] = {
+    import graft.index.Codec
+    // decode each (field, term)'s postings into doc -> (tf, dl, positions)
+    val byFt: Map[(String, String), Map[Long, (Long, Long, Array[Int])]] =
+      blocks.map { case (ft, bls) =>
+        val m = scala.collection.mutable.LongMap
+          .empty[(Long, Long, Array[Int])]
+        bls.foreach { b =>
+          val docs = Codec.decodeDeltas(b.doc_bytes, b.n)
+          val tfs = Codec.decodeVarints(b.tf_bytes, b.n)
+          val dls = Codec.decodeVarints(b.dl_bytes, b.n)
+          val pr = new Codec.VarIntReader(b.pos_bytes)
+          var i = 0
+          while (i < b.n) {
+            m.put(docs(i), (tfs(i), dls(i), pr.readDeltaList(tfs(i).toInt)))
+            i += 1
+          }
         }
+        ft -> m.toMap
       }
-      Node(alts)
+    def altDocs(a: FieldQ): Set[Long] = a match {
+      case TermQ(f, t) => byFt.getOrElse((f, t), Map.empty).keySet
+      case PhraseQ(f, ts) =>
+        ts.map(t => byFt.getOrElse((f, t), Map.empty).keySet)
+          .reduceOption(_ intersect _).getOrElse(Set.empty)
+      case _ => Set.empty
     }
+    val candidates = nodes.map(n => n.alts.map(altDocs).reduce(_ union _))
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val avgdl = Map(FieldContent -> idx.avgdl(FieldContent),
+      FieldRaw -> idx.avgdl(FieldRaw), FieldIdent -> idx.avgdl(FieldIdent))
+    candidates.toSeq.sorted.flatMap { doc =>
+      val rows = byFt.iterator.flatMap { case ((f, t), m) =>
+        m.get(doc).map { case (tf, dl, pos) =>
+          (doc, f, t, tf, dl, pos, dfs((f, t)))
+        }
+      }
+      val sc = FtsIndex.scoreDoc(nodes, idx.nDocs, avgdl, rows)
+      if (sc.isNaN) None else Some(Wand.Scored(doc, sc))
+    }.sortBy(s => (-s.score, s.doc))
   }
+
+  /** Same node construction as the cluster path (shared code). */
+  private def buildNodes(q: FtsQuery): Seq[Node] = idx.buildNodes(q)
+
+  // ---- test hooks --------------------------------------------------------
+
+  /** Whether a term's posting blocks were ever collected to the driver
+    * (the df-gate spec asserts this stays false for stopword-grade terms). */
+  private[graft] def hasBlocksFor(field: String, term: String): Boolean =
+    synchronized(termBlocks.containsKey((field, term)))
+
+  private[graft] def cachedTermCount: Int = synchronized(termBlocks.size())
 }

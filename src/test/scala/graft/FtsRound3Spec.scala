@@ -61,6 +61,106 @@ class FtsRound3Spec extends AnyFunSuite {
       ex.map(r => (r.doc_id, r.score)))
   }
 
+  test("fuzzy expansion: transposition matches survive the cmask prefilter") {
+    // "megre" is a damerau-distance-1 TRANSPOSITION of "merge" (levenshtein
+    // distance 2) and has the identical character set — the exact case a
+    // too-aggressive prefilter would drop
+    val docs = Fixtures.corpusA :+ Fixtures.Doc("test_repo", "src/typo.py",
+      "5" * 40, "python", "def megre(a, b): return a + b", Nil)
+    val root = freshIndex(docs)
+    val idx = new FtsIndex(spark, root)
+    val rs = idx.searchCollected(FtsQuery("merge", editDistance = 1))
+    assert(rs.exists(_.path == "src/typo.py"),
+      "transposed term must match at d=1")
+  }
+
+  test("fuzzy and regex ride the WAND path after expansion, " +
+       "identical to exhaustive") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root)
+    for (q <- Seq(FtsQuery("authenticat", editDistance = 1, limit = 10),
+                  FtsQuery("auth.*", useRegex = true, limit = 10))) {
+      val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+      val wand = idx.searchWand(q).map(r => (r.doc_id, r.score))
+      assert(ex.nonEmpty, s"query $q should match")
+      assert(wand === ex, s"WAND != exhaustive for $q")
+    }
+  }
+
+  test("fuzzy segments scan is pruned by exact terms (no UDF on segments)") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = idx.search(FtsQuery("authenticat", editDistance = 1, limit = 5))
+      val plan = df.queryExecution.executedPlan
+      val segScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("/segments")) => f
+      }
+      assert(segScans.nonEmpty)
+      segScans.foreach { s =>
+        assert(!s.dataFilters.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+          s"fuzzy query must not UDF-filter the segments scan:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("df-gate: a stopword-grade term's posting list is NEVER collected " +
+       "to the driver; results stay cluster-identical") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    // budget of 2 postings: "def" (df ~ N) exceeds it, "authenticate" not
+    val cache = new graft.query.FtsQueryCache(idx, maxDfCached = 2)
+    val q = FtsQuery("def", limit = 5)
+    val cached = cache.search(q).map(r => (r.doc_id, r.score))
+    val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+    assert(cached === ex)
+    assert(cached.nonEmpty)
+    for (f <- Seq("content", "identifiers"))
+      assert(!cache.hasBlocksFor(f, "def"),
+        s"high-df term blocks must not be fetched into the driver cache ($f)")
+    assert(cache.cachedTermCount === 0)
+    // mixed query with one hot term: whole query routes to the cluster
+    val q2 = FtsQuery("authenticate def", limit = 5)
+    assert(cache.search(q2).map(_.doc_id) ===
+      idx.searchCollected(q2).map(_.doc_id))
+    assert(!cache.hasBlocksFor("content", "def"))
+  }
+
+  test("warm cache covers filtered / phrase / fuzzy / regex shapes, " +
+       "identical to the cluster path, zero jobs when hot") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx)
+    val shapes = Seq(
+      FtsQuery("def", limit = 5, languages = Seq("python")),
+      FtsQuery("def", limit = 5, excludeLanguages = Seq("python")),
+      FtsQuery("def", limit = 5, pathFilters = Seq("src/*")),
+      FtsQuery("def", limit = 5, excludePathFilters = Seq("src/*"),
+        languages = Seq("python")),
+      FtsQuery("login_user", limit = 5), // multi-token word -> phrase node
+      FtsQuery("authenticat", editDistance = 1, limit = 5),
+      FtsQuery("auth.*", useRegex = true, limit = 5))
+    for (q <- shapes) {
+      val c = cache.search(q).map(r => (r.doc_id, r.score))
+      val e = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+      assert(e.nonEmpty, s"query should match: $q")
+      assert(c.map(_._1) === e.map(_._1), s"docs for $q")
+      c.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-9, s"score for $q") }
+    }
+    // all shapes hot now: zero Spark jobs on repeat
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    shapes.foreach(q => assert(cache.search(q).nonEmpty))
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      "hot cached queries of every shape must run zero Spark jobs")
+  }
+
   test("cached path validates query parameters like the cluster path") {
     val root = freshIndex(Fixtures.corpusA)
     val idx = new FtsIndex(spark, root)
