@@ -57,14 +57,10 @@ object FtsDeltas {
     * nShards window partitions instead of funneling through one task), and
     * doc_id = (1000+gen) << 40 | subshard << 28 | rank — deterministic
     * under any parallelism, disjoint from base shards and other gens. */
-  def upsert(spark: SparkSession, batch: DataFrame, root: String,
-             cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
-    require(cfg.nShards <= 4096,
-      s"delta doc-id namespace fits 4096 sub-shards, got ${cfg.nShards}")
-    val vDir = currentDir(spark, root)
-    val gen = nextGen(spark, vDir)
-    val dDir = s"$vDir/deltas/d$gen"
-
+  /** Delta doc-id assignment for one generation, mirroring stageDocs'
+    * shard scheme inside the delta's own namespace (see [[upsert]]). */
+  private def assignDeltaDocs(batch: DataFrame, gen: Int,
+                              cfg: FtsIndexBuilder.Config): DataFrame = {
     val withIds =
       if (batch.columns.contains("identifiers")) batch
       else batch.withColumn("identifiers", lit(null).cast("array<string>"))
@@ -77,7 +73,7 @@ object FtsDeltas {
       else Seq(col("repo"), col("path"))
     val extraCols = if (chunked) Seq("line_start", "line_end") else Nil
     val w = Window.partitionBy(col("subshard")).orderBy(orderCols: _*)
-    val docs = withIds
+    withIds
       .withColumn("subshard",
         pmod(xxhash64(col("repo"), col("path")), lit(cfg.nShards)).cast("int"))
       .withColumn("shard", lit((GenBase + gen).toInt))
@@ -91,7 +87,18 @@ object FtsDeltas {
       .select(("doc_id" +: "shard" +: "repo" +: "path" +: "commit" +:
         "lang" +: "sha256" +: "ids" +: "content" +: "gen" +: extraCols)
         .map(col): _*)
-    docs.write.mode("overwrite").parquet(s"$dDir/docs")
+  }
+
+  def upsert(spark: SparkSession, batch: DataFrame, root: String,
+             cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
+    require(cfg.nShards <= 4096,
+      s"delta doc-id namespace fits 4096 sub-shards, got ${cfg.nShards}")
+    val vDir = currentDir(spark, root)
+    val gen = nextGen(spark, vDir)
+    val dDir = s"$vDir/deltas/d$gen"
+
+    assignDeltaDocs(batch, gen, cfg)
+      .write.mode("overwrite").parquet(s"$dDir/docs")
 
     val written = spark.read.parquet(s"$dDir/docs")
     // rank overflow guard: doc_id packs row_number into 28 bits per
@@ -138,6 +145,81 @@ object FtsDeltas {
       .agg(sum("n").as("df"), sum("sum_tf").as("cf"))
       .withColumn("cmask", cmaskU(col("term")))
       .write.mode("overwrite").parquet(s"$dDir/dict")
+  }
+
+  /** TIERED compaction: fold every delta generation into ONE equivalent
+    * generation WITHOUT touching base shards — the cost scales with the
+    * size of the deltas, never with the size of the index (a full
+    * [[compact]] under heavy streaming churn would rebuild 100 TB to
+    * absorb a few MB of updates).
+    *
+    * Reads only delta state: alive delta docs (tombstone-resolved among
+    * the deltas themselves — the base is never scanned, its docs are
+    * killed by the surviving tombstone keys), re-ids them into the folded
+    * generation's namespace, rebuilds their segments/dict, and writes one
+    * tombstone per previously-tombstoned key at the folded generation.
+    *
+    * Swap is near-atomic: the folded generation is fully written under a
+    * temp name invisible to readers, renamed into place, and only then are
+    * the old generations deleted. A reader overlapping the window sees old
+    * AND folded generations together: membership stays exactly correct
+    * (the folded tombstones kill every old-generation doc), only df/N
+    * drift briefly — within the documented eventual-consistency contract
+    * (tantivy_index_manager.py:25-33).
+    *
+    * Returns the folded generation number, or None when there is nothing
+    * to fold (fewer than 2 generations). */
+  def fold(spark: SparkSession, root: String,
+           cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Option[Int] = {
+    val vDir = currentDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, vDir)
+    val deltaRoot = new Path(s"$vDir/deltas")
+    if (!hfs.exists(deltaRoot)) return None
+    val gens = hfs.listStatus(deltaRoot).map(_.getPath.getName)
+      .filter(_.matches("d\\d+")).map(_.drop(1).toInt).sorted.toSeq
+    if (gens.length <= 1) return None
+    val gNew = gens.max + 1
+
+    def sub(s: String): Seq[String] = gens.map(g => s"$vDir/deltas/d$g/$s")
+      .filter(p => hfs.exists(new Path(p)))
+    val tombs = spark.read.parquet(sub("tombstones"): _*)
+    val tmax = tombs.groupBy("repo", "path").agg(max("gen").as("tgen"))
+
+    val docPaths = sub("docs")
+    val alive: Option[DataFrame] =
+      if (docPaths.isEmpty) None
+      else {
+        val d = docPaths.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val a = d.join(tmax, Seq("repo", "path"), "left")
+          .where(col("gen") >= coalesce(col("tgen"), lit(0)))
+        if (a.isEmpty) None else Some(a)
+      }
+
+    // stage the folded generation under a name deltaDirs ignores
+    val tmpName = s"fold.tmp.$gNew"
+    val tmpDir = s"$vDir/deltas/$tmpName"
+    hfs.delete(new Path(tmpDir), true)
+    alive.foreach { a =>
+      val lineCols =
+        if (a.columns.contains("line_start"))
+          Seq(col("line_start"), col("line_end")) else Nil
+      val batch = a.select(col("repo") +: col("path") +: col("commit") +:
+        col("lang") +: col("content") +: col("ids").as("identifiers") +:
+        lineCols: _*)
+      assignDeltaDocs(batch, gNew, cfg)
+        .write.mode("overwrite").parquet(s"$tmpDir/docs")
+      writeDeltaSegments(spark, spark.read.parquet(s"$tmpDir/docs"),
+        tmpDir, gNew, cfg)
+    }
+    tombs.select("repo", "path").distinct()
+      .withColumn("gen", lit(gNew))
+      .write.mode("overwrite").parquet(s"$tmpDir/tombstones")
+
+    // publish, then retire the folded-away generations
+    hfs.rename(new Path(tmpDir), new Path(s"$vDir/deltas/d$gNew"))
+    gens.foreach(g => hfs.delete(new Path(s"$vDir/deltas/d$g"), true))
+    Some(gNew)
   }
 
   /** Rewrite a fresh version from the surviving documents — after this the
