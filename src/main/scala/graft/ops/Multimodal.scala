@@ -43,7 +43,7 @@ object Multimodal {
   }
 
   /** Render a deterministic WxH RGB image and encode it as a real PNG. */
-  private[ops] def synthPng(seed0: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def synthPng(seed0: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var s = seed0
@@ -63,7 +63,7 @@ object Multimodal {
   }
 
   /** Synthesize a real RIFF/WAVE file: PCM16 mono, deterministic samples. */
-  private[ops] def synthWav(seed0: Long, sampleRate: Int,
+  private[graft] def synthWav(seed0: Long, sampleRate: Int,
                             durationMs: Long): Array[Byte] = {
     val n = (sampleRate.toLong * durationMs / 1000L).toInt
     val dataLen = n * 2
@@ -123,7 +123,7 @@ object Multimodal {
 
   /** REAL image kernel: ImageIO decode -> per-cell mean luminance grid
     * (gridDim x gridDim) + width/height, padded/truncated to `dim`. */
-  private[ops] def decodeImageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeImageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
     val grid = math.max(1, math.sqrt((dim - 2).toDouble).toInt)
@@ -136,22 +136,27 @@ object Multimodal {
     while (gy < grid) {
       var gx = 0
       while (gx < grid) {
-        var sum = 0.0
+        // integer accumulation (sum of milli-luminance) so the value is
+        // EXACT — one double division at the end makes the feature
+        // bit-identical to the DuckDB oracle's computation
+        var sum1000 = 0L
         var cnt = 0
         var y = gy * ch
         while (y < math.min((gy + 1) * ch, img.getHeight)) {
           var x = gx * cw
           while (x < math.min((gx + 1) * cw, img.getWidth)) {
             val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000.0
-            sum += lum; cnt += 1
+            sum1000 += ((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114
+            cnt += 1
             x += 1
           }
           y += 1
         }
         val idx = 2 + gy * grid + gx
-        if (idx < dim) out(idx) = (if (cnt == 0) 0.0 else sum / cnt).toFloat
+        if (idx < dim)
+          out(idx) =
+            (if (cnt == 0) 0.0 else sum1000.toDouble / (1000.0 * cnt)).toFloat
         gx += 1
       }
       gy += 1
@@ -162,7 +167,7 @@ object Multimodal {
   /** REAL audio kernel: parse the RIFF/WAVE header, decode PCM16 samples,
     * compute sampleRate, nSamples, global RMS, and per-window RMS +
     * zero-crossing rate. */
-  private[ops] def decodeWavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeWavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length > 44 &&
@@ -174,30 +179,35 @@ object Multimodal {
     val out = new Array[Float](dim)
     out(0) = sampleRate.toFloat
     out(1) = n.toFloat
-    // global RMS
-    var sumSq = 0.0
+    // global RMS — integer sum of squares (exact, order-independent), one
+    // sqrt/divide at the end: bit-identical to the DuckDB oracle
+    var sumSq = 0L
     var i = 0
-    while (i < n) { val s = bb.getShort(44 + 2 * i) / 32768.0; sumSq += s * s; i += 1 }
-    out(2) = math.sqrt(if (n == 0) 0.0 else sumSq / n).toFloat
+    while (i < n) {
+      val s = bb.getShort(44 + 2 * i).toLong; sumSq += s * s; i += 1
+    }
+    out(2) =
+      (if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat
     // per-window RMS + zero crossings over the remaining dims
     val nWin = math.max(1, (dim - 3) / 2)
     val win = math.max(1, n / nWin)
     var w = 0
     while (w < nWin) {
-      var sq = 0.0
+      var sq = 0L
       var zc = 0
       var prev = 0
       var j = w * win
       val end = math.min(n, (w + 1) * win)
       while (j < end) {
         val s = bb.getShort(44 + 2 * j).toInt
-        sq += (s / 32768.0) * (s / 32768.0)
+        sq += s.toLong * s
         if ((s < 0 && prev >= 0) || (s >= 0 && prev < 0)) zc += 1
         prev = s
         j += 1
       }
       val cnt = math.max(1, end - w * win)
-      if (3 + 2 * w < dim) out(3 + 2 * w) = math.sqrt(sq / cnt).toFloat
+      if (3 + 2 * w < dim)
+        out(3 + 2 * w) = (math.sqrt(sq.toDouble / cnt) / 32768.0).toFloat
       if (4 + 2 * w < dim) out(4 + 2 * w) = zc.toFloat / cnt
       w += 1
     }
@@ -214,7 +224,8 @@ object Multimodal {
     var j = 0
     while (j < dim) {
       h = xorshift(h)
-      out(j) = (h % 1000003L).toFloat / 1000003.0f
+      // double division then one float cast — oracle-reproducible
+      out(j) = ((h % 1000003L).toDouble / 1000003.0).toFloat
       j += 1
     }
     out

@@ -29,16 +29,25 @@ object OpsQueries {
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 5)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(emb(s, d), 5, 5)),
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(emb(s, d), 5, 5)),
-    "mm_features" -> ((s, d) => {
-      // multimodal plumbing smoke (stubbed decode kernels; rows-only check)
-      val st = s
-      import st.implicits._
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d, 32))
-        .map(f => (f.media_id, f.kind, f.dim,
-          math.round(f.features.sum * 10000.0) / 10000.0))
-        .toDF("media_id", "kind", "dim", "feature_sum")
-    }),
+    // multimodal feature extraction, one row per (media, feature index),
+    // split per kind so each decode kernel gets its own hard DuckDB oracle
+    // (image: real PNG decode; audio: real RIFF/WAVE parse; video: the
+    // documented stub kernel — all three deterministic integer math whose
+    // float32 outputs the oracle reproduces bit-exactly)
+    "mm_image_features" -> ((s, d) => mmKind(s, d, "image")),
+    "mm_audio_features" -> ((s, d) => mmKind(s, d, "audio")),
+    "mm_video_features" -> ((s, d) => mmKind(s, d, "video")),
   )
+
+  private def mmKind(s: SparkSession, d: String, kind: String): DataFrame = {
+    val st = s
+    import st.implicits._
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d, 32))
+      .filter(_.kind == kind)
+      .flatMap(f => f.features.zipWithIndex.map { case (v, i) =>
+        (f.media_id, i, v.toDouble) })
+      .toDF("media_id", "fidx", "val")
+  }
 }
 
 object OpsOracle {
@@ -133,7 +142,161 @@ object OpsOracle {
        |WHERE bit_count(xor(l.sh, r.sh)) <= $maxDist""".stripMargin
   }
 
+  // ---- multimodal kernels: DuckDB twins of the xorshift64 media synth +
+  // decode pipeline (ops/Multimodal.scala). Java's 64-bit wrap semantics
+  // are reproduced on UBIGINT: left-shift-with-wrap = (h % 2^(64-k)) * 2^k,
+  // unsigned right shift = // 2^k, xor = xor(); the FNV rolling hash wraps
+  // through HUGEINT. Every feature derives from EXACT integer aggregates
+  // with one final double expression + float32 cast, so the comparison is
+  // bit-exact, not tolerance-based. --------------------------------------
+
+  private def ub(x: Any): String = s"CAST($x AS UBIGINT)"
+
+  /** xorshift64 step applied to column `s`. */
+  private val xsExpr: String = {
+    val x1 = s"xor(s, (s % ${ub(1L << 51)}) * ${ub(1L << 13)})"
+    val x2 = s"xor(X1, X1 // ${ub(128)})".replace("X1", x1)
+    s"xor(X2, (X2 % ${ub(1L << 47)}) * ${ub(1L << 17)})".replace("X2", x2)
+  }
+
+  private val seedExpr =
+    "CAST('0x' || substring(sha256(text), 1, 16) AS UBIGINT)"
+
+  private val mod64 = java.math.BigInteger.ONE.shiftLeft(64).toString
+
+  private val mmImageSql: String =
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id AS media_id, $seedExpr AS seed FROM documents
+       |  WHERE doc_id < 32 AND doc_id % 3 = 0
+       |),
+       |st AS (
+       |  SELECT media_id, 0 AS i, seed AS s FROM media
+       |  UNION ALL
+       |  SELECT media_id, i + 1, $xsExpr FROM st WHERE i < 4096
+       |),
+       |pix AS (
+       |  SELECT media_id, i - 1 AS pi, CAST(s % 16777216 AS BIGINT) AS rgb
+       |  FROM st WHERE i >= 1
+       |),
+       |cell AS (
+       |  SELECT media_id,
+       |    CAST((pi // 64) // 12 AS INTEGER) AS gy,
+       |    CAST((pi % 64) // 12 AS INTEGER) AS gx,
+       |    sum(((rgb // 65536) % 256) * 299 + ((rgb // 256) % 256) * 587
+       |        + (rgb % 256) * 114) AS s1000,
+       |    count(*) AS cnt
+       |  FROM pix
+       |  WHERE (pi % 64) < 60 AND (pi // 64) < 60
+       |  GROUP BY 1, 2, 3
+       |),
+       |cellfeat AS (
+       |  SELECT media_id, 2 + gy * 5 + gx AS fidx,
+       |    CAST(CAST(CAST(s1000 AS DOUBLE) / (1000.0 * cnt) AS FLOAT) AS DOUBLE) AS val
+       |  FROM cell
+       |),
+       |dims AS (
+       |  SELECT media_id, 0 AS fidx, CAST(64.0 AS DOUBLE) AS val FROM media
+       |  UNION ALL SELECT media_id, 1, 64.0 FROM media
+       |),
+       |zeros AS (
+       |  SELECT media_id, CAST(unnest(range(27, 32)) AS INTEGER) AS fidx,
+       |         CAST(0.0 AS DOUBLE) AS val
+       |  FROM media
+       |)
+       |SELECT media_id, CAST(fidx AS INTEGER) AS fidx, val
+       |FROM (SELECT * FROM dims UNION ALL SELECT * FROM cellfeat
+       |      UNION ALL SELECT * FROM zeros)""".stripMargin
+
+  private val mmAudioSql: String =
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id AS media_id, $seedExpr AS seed FROM documents
+       |  WHERE doc_id < 32 AND doc_id % 3 = 1
+       |),
+       |st AS (
+       |  SELECT media_id, 0 AS i, seed AS s FROM media
+       |  UNION ALL
+       |  SELECT media_id, i + 1, $xsExpr FROM st WHERE i < 4000
+       |),
+       |smp AS (
+       |  SELECT media_id, i - 1 AS si,
+       |    CASE WHEN CAST(s % 65536 AS BIGINT) >= 32768
+       |         THEN CAST(s % 65536 AS BIGINT) - 65536
+       |         ELSE CAST(s % 65536 AS BIGINT) END AS v
+       |  FROM st WHERE i >= 1
+       |),
+       |gagg AS (
+       |  SELECT media_id, sum(v * v) AS sq FROM smp GROUP BY 1
+       |),
+       |win AS (
+       |  SELECT media_id, CAST(si // 285 AS INTEGER) AS w, v,
+       |    lag(v, 1, 0) OVER (PARTITION BY media_id, si // 285 ORDER BY si) AS prev
+       |  FROM smp WHERE si < 3990
+       |),
+       |winagg AS (
+       |  SELECT media_id, w, sum(v * v) AS sq,
+       |    sum(CASE WHEN (v < 0 AND prev >= 0) OR (v >= 0 AND prev < 0)
+       |        THEN 1 ELSE 0 END) AS zc
+       |  FROM win GROUP BY 1, 2
+       |),
+       |feats AS (
+       |  SELECT media_id, 0 AS fidx, CAST(16000.0 AS DOUBLE) AS val FROM media
+       |  UNION ALL SELECT media_id, 1, 4000.0 FROM media
+       |  UNION ALL SELECT media_id, 2,
+       |    CAST(CAST(sqrt(CAST(sq AS DOUBLE) / 4000) / 32768.0 AS FLOAT) AS DOUBLE)
+       |    FROM gagg
+       |  UNION ALL SELECT media_id, 3 + 2 * w,
+       |    CAST(CAST(sqrt(CAST(sq AS DOUBLE) / 285) / 32768.0 AS FLOAT) AS DOUBLE)
+       |    FROM winagg
+       |  UNION ALL SELECT media_id, 4 + 2 * w,
+       |    CAST(CAST(CAST(zc AS FLOAT) / CAST(285 AS FLOAT) AS FLOAT) AS DOUBLE)
+       |    FROM winagg
+       |  UNION ALL SELECT media_id, 31, 0.0 FROM media
+       |)
+       |SELECT media_id, CAST(fidx AS INTEGER) AS fidx, val FROM feats""".stripMargin
+
+  private val mmVideoSql: String =
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id AS media_id, sha256(text) AS hex FROM documents
+       |  WHERE doc_id < 32 AND doc_id % 3 = 2
+       |),
+       |bytes AS (
+       |  SELECT media_id, CAST(j AS INTEGER) AS j,
+       |    CASE WHEN b0 >= 128 THEN b0 - 256 ELSE b0 END AS b
+       |  FROM (
+       |    SELECT media_id, unnest(range(0, 32)) AS j,
+       |      CAST('0x' || substring(hex, CAST(1 + 2 * unnest(range(0, 32)) AS INTEGER), 2)
+       |           AS INTEGER) AS b0
+       |    FROM media
+       |  )
+       |),
+       |fnv AS (
+       |  SELECT media_id, 0 AS i, ${ub(1125899906842597L)} AS h FROM media
+       |  UNION ALL
+       |  SELECT f.media_id, f.i + 1,
+       |    CAST(((CAST(h AS HUGEINT) * 31 + b + $mod64) % $mod64) AS UBIGINT)
+       |  FROM fnv f JOIN bytes bb ON bb.media_id = f.media_id
+       |    AND bb.j = CAST(f.i % 32 AS INTEGER)
+       |  WHERE f.i < 16384
+       |),
+       |xs AS (
+       |  SELECT media_id, 0 AS j, h AS s FROM fnv WHERE i = 16384
+       |  UNION ALL
+       |  SELECT media_id, j + 1, $xsExpr FROM xs WHERE j < 32
+       |),
+       |feats AS (
+       |  SELECT media_id, j - 1 AS fidx,
+       |    CAST(CAST(CAST(
+       |      (CASE WHEN s >= ${ub("9223372036854775808")}
+       |        THEN CAST(s AS HUGEINT) - $mod64 ELSE CAST(s AS HUGEINT) END) % 1000003
+       |      AS DOUBLE) / 1000003.0 AS FLOAT) AS DOUBLE) AS val
+       |  FROM xs WHERE j >= 1
+       |)
+       |SELECT media_id, CAST(fidx AS INTEGER) AS fidx, val FROM feats""".stripMargin
+
   val all: Map[String, String] = Map(
+    "mm_image_features" -> mmImageSql,
+    "mm_audio_features" -> mmAudioSql,
+    "mm_video_features" -> mmVideoSql,
     "dd_simhash_neardups" -> simhashSql(3),
 
     "ann_ivf_topk" ->

@@ -83,6 +83,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.forall(x => x.features(2) > 0.0f))
   }
 
+  test("decode kernels reproduce the synth formula exactly " +
+       "(the invariant the DuckDB oracle relies on)") {
+    // image: PNG encode/decode is lossless, so the luminance-grid features
+    // must equal the values computed straight from the xorshift pixels
+    def xs(h0: Long): Long = {
+      var h = h0; h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h
+    }
+    val seed = 0x1234567890abcdefL
+    val png = Multimodal.synthPng(seed, 64, 64)
+    val got = Multimodal.decodeImageFeatures(png, 32)
+    val exp = new Array[Float](32)
+    exp(0) = 64f; exp(1) = 64f
+    val pix = new Array[Int](64 * 64)
+    var s = seed
+    for (i <- pix.indices) { s = xs(s); pix(i) = (s & 0xFFFFFF).toInt }
+    for (gy <- 0 until 5; gx <- 0 until 5) {
+      var sum1000 = 0L; var cnt = 0
+      for (y <- gy * 12 until (gy + 1) * 12; x <- gx * 12 until (gx + 1) * 12) {
+        val rgb = pix(y * 64 + x)
+        sum1000 += ((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114
+        cnt += 1
+      }
+      exp(2 + gy * 5 + gx) = (sum1000.toDouble / (1000.0 * cnt)).toFloat
+    }
+    assert(got.toSeq === exp.toSeq)
+
+    // audio: WAV header + PCM16 roundtrip
+    val wav = Multimodal.synthWav(seed, 16000, 250L)
+    val gotA = Multimodal.decodeWavFeatures(wav, 32)
+    var s2 = seed
+    val samples = Array.fill(4000) {
+      s2 = xs(s2); (s2 & 0xFFFF).toShort.toInt
+    }
+    assert(gotA(0) === 16000f && gotA(1) === 4000f)
+    val sumSq = samples.map(v => v.toLong * v).sum
+    assert(gotA(2) === (math.sqrt(sumSq.toDouble / 4000) / 32768.0).toFloat)
+  }
+
   test("media stats aggregate") {
     val st = Multimodal.mediaStats(media).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
