@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
 object Ann {
   import PortableHash._
 
+  /** Contract defaults — the DuckDB oracle rows are pinned to these; every
+    * operator takes them as parameters for non-default deployments (real
+    * embeddings are 512-4096-d). */
   final val NumPlanes = 8
   final val Dim = 64
 
@@ -70,10 +73,11 @@ object Ann {
     * constant-folded by Catalyst, zero per-row hashing. */
   private[graft] def signMatrix: Array[Array[Double]] = signMatrixN(NumPlanes)
 
-  /** First n md5-seeded hyperplanes (must match sign()'s parity). */
-  private[graft] def signMatrixN(n: Int): Array[Array[Double]] = {
+  /** First n md5-seeded hyperplanes of `dim` components (must match
+    * sign()'s parity). */
+  private[graft] def signMatrixN(n: Int, dim: Int = Dim): Array[Array[Double]] = {
     (0 until n).map { p =>
-      (0 until Dim).map { d =>
+      (0 until dim).map { d =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"p${p}_d$d".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(15)
@@ -89,8 +93,8 @@ object Ann {
     * selectivity knob. Candidate generation stays an equi-join on
     * (band, bkey). */
   def rhBandBuckets(emb: DataFrame, nBands: Int,
-                    planesPerBand: Int): DataFrame = {
-    val m = signMatrixN(nBands * planesPerBand)
+                    planesPerBand: Int, dim: Int = Dim): DataFrame = {
+    val m = signMatrixN(nBands * planesPerBand, dim)
     val bandCols = (0 until nBands).map { b =>
       val bits = (0 until planesPerBand).map { j =>
         val planeLit = array(m(b * planesPerBand + j).toIndexedSeq.map(lit): _*)
@@ -108,10 +112,11 @@ object Ann {
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** Random-hyperplane bucket id (0..2^NumPlanes-1) per vector. */
-  def rhBuckets(emb: DataFrame): DataFrame = {
-    val m = signMatrix
-    val bucketBits = (0 until NumPlanes).map { p =>
+  /** Random-hyperplane bucket id (0..2^numPlanes-1) per vector. */
+  def rhBuckets(emb: DataFrame, numPlanes: Int = NumPlanes,
+                dim: Int = Dim): DataFrame = {
+    val m = signMatrixN(numPlanes, dim)
+    val bucketBits = (0 until numPlanes).map { p =>
       val planeLit = array(m(p).toIndexedSeq.map(lit): _*)
       val proj = aggregate(
         zip_with(transform(col("embedding"), x => x.cast("double")),
@@ -124,8 +129,9 @@ object Ann {
 
   /** LSH top-k: exact cosine among same-bucket candidates only.
     * Output: (query_id, rank, neighbor_id, sim) — rank within bucket. */
-  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val bucketed = rhBuckets(emb)
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+              numPlanes: Int = NumPlanes, dim: Int = Dim): DataFrame = {
+    val bucketed = rhBuckets(emb, numPlanes, dim)
     val queries = bucketed.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket"))
@@ -142,6 +148,64 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Deterministic seeded k-means centroids: init = the first nCells
+    * vectors, then `iters` Lloyd rounds of (min_by cosine assignment ->
+    * per-cell arithmetic-mean update). Each round is one broadcast join +
+    * two hash aggregates; the nCells x dim centroid set collects to the
+    * driver between rounds (tiny). Deterministic up to float summation
+    * order — fine for the recall-oriented production mode; the oracle row
+    * stays pinned to the "first" centroid mode. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int,
+                      iters: Int = 5): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Array[(Int, Array[Double])] =
+      emb.where(col("vec_id") < nCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val centsDf = broadcast(
+        cents.toSeq.toDF("cell", "ce0")
+          .select(col("cell"), col("ce0").as("ce")))
+      val assigned = emb.crossJoin(centsDf)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("ce")).as("csim"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cell"), col("embedding")),
+          struct(negate(col("csim")), col("cell"))).as("m"))
+        .select(col("m.cell").as("cell"), col("m.embedding").as("e"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("mv"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("ps"))
+        .select(col("cell"),
+          transform(col("ps"), p => p.getField("mv")).as("ce"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      // cells that lost every member keep their previous centroid
+      val got = means.toMap
+      cents = cents.map { case (c, old) => (c, got.getOrElse(c, old)) }
+    }
+    cents
+  }
+
+  /** IVF probe with seeded-k-means centroids (production mode: better
+    * cells on clustered data; same probe plan as [[ivfTopK]]). */
+  def ivfTopKKmeans(emb: DataFrame, nQueries: Int, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4,
+                    iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(emb, nCells, iters).toSeq
+      .toDF("cell", "ce0").select(col("cell"), col("ce0").as("ce"))
+    ivfProbe(emb, cents.withColumn("ce",
+      transform(col("ce"), _.cast("float"))), nQueries, k, nProbe)
+  }
+
   /** IVF probe: deterministic centroids (vec_id < nCells), assign all
     * vectors to the nearest centroid, probe the query's nProbe cells.
     *
@@ -154,6 +218,11 @@ object Ann {
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = emb.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    ivfProbe(emb, cents, nQueries, k, nProbe)
+  }
+
+  private def ivfProbe(emb: DataFrame, cents: DataFrame, nQueries: Int,
+                       k: Int, nProbe: Int): DataFrame = {
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("ce")).as("csim"))

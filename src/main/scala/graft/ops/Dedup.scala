@@ -36,6 +36,9 @@ object PortableHash {
 object Dedup {
   import PortableHash._
 
+  /** Contract defaults — the DuckDB oracle rows are pinned to these; the
+    * operators take them as parameters so a deployment can trade recall
+    * for selectivity (more seeds, wider bands). */
   final val NumSeeds = 8
   final val BandRows = 2 // 4 bands x 2 rows
 
@@ -65,25 +68,29 @@ object Dedup {
         (col("doc_id") =!= col("keeper")).as("is_dup"))
   }
 
-  /** MinHash signatures: (doc_id, seed, minhash), seeds 0..NumSeeds-1. */
-  def minhashSignatures(docs: DataFrame): DataFrame =
+  /** MinHash signatures: (doc_id, seed, minhash), seeds 0..numSeeds-1. */
+  def minhashSignatures(docs: DataFrame,
+                        numSeeds: Int = NumSeeds): DataFrame =
     shingles(docs)
-      .crossJoin(spark_seeds)
+      .crossJoin(spark_seeds(numSeeds))
       .select(col("doc_id"), col("seed"),
         hash64(concat(col("shingle"), lit("#"),
           col("seed").cast("string"))).as("h"))
       .groupBy("doc_id", "seed").agg(min("h").as("minhash"))
 
-  private def spark_seeds: DataFrame = {
+  private def spark_seeds(numSeeds: Int): DataFrame = {
     val s = org.apache.spark.sql.SparkSession.active
-    s.range(NumSeeds).select(col("id").cast("int").as("seed"))
+    s.range(numSeeds).select(col("id").cast("int").as("seed"))
   }
 
   /** LSH banding: docs sharing any (band, band-key) become candidate
-    * pairs. Output: (a, b) with a < b, distinct. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-      .withColumn("band", floor(col("seed") / BandRows).cast("int"))
+    * pairs. Output: (a, b) with a < b, distinct. Band count =
+    * numSeeds / bandRows; recall of a pair with Jaccard j is
+    * 1 - (1 - j^bandRows)^(numSeeds/bandRows). */
+  def lshCandidatePairs(docs: DataFrame, numSeeds: Int = NumSeeds,
+                        bandRows: Int = BandRows): DataFrame = {
+    val sig = minhashSignatures(docs, numSeeds)
+      .withColumn("band", floor(col("seed") / bandRows).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(concat_ws("_", sort_array(collect_list(
         concat_ws(":", col("seed"), col("minhash")))))).as("bkey"))
@@ -164,9 +171,18 @@ object Dedup {
     * all-pairs cross product; the hamming check is codegen'd
     * bit_count(xor). Scale knob: tighter maxDist => fewer, wider bands =>
     * exponentially more selective buckets. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      allowCoarseBands: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist < SimhashBits,
       s"maxDist must be in [0, ${SimhashBits - 1}], got $maxDist")
+    // cost cliff, not a correctness limit: (maxDist+1)-way banding at
+    // maxDist >= 8 leaves bands of <= 6 bits = <= 64 buckets/band, and the
+    // candidate equi-join degenerates toward all-pairs at scale. Callers
+    // must opt in explicitly beyond the documented envelope.
+    require(maxDist <= 7 || allowCoarseBands,
+      s"maxDist=$maxDist yields ${SimhashBits / (maxDist + 1)}-bit bands — " +
+        "candidate generation degenerates toward all-pairs at scale; pass " +
+        "allowCoarseBands = true to accept the cost")
     val sim = udf((text: String) =>
       simhash60(graft.analysis.Tokenizer.tokenize(text)))
     val withSim = docs.select(col("doc_id"), sim(col("text")).as("sh"))
@@ -195,8 +211,9 @@ object Dedup {
     * round-1 weak spot). Still an equi-join on (band, bkey) — no
     * all-pairs product. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-                        nBands: Int = 4, planesPerBand: Int = 6): DataFrame = {
-    val bucketed = Ann.rhBandBuckets(emb, nBands, planesPerBand)
+                        nBands: Int = 4, planesPerBand: Int = 6,
+                        dim: Int = Ann.Dim): DataFrame = {
+    val bucketed = Ann.rhBandBuckets(emb, nBands, planesPerBand, dim)
     val l = bucketed.select(col("band"), col("bkey"),
       col("vec_id").as("a"), col("embedding").as("ea"))
     val r = bucketed.select(col("band").as("band2"), col("bkey").as("bkey2"),

@@ -78,7 +78,8 @@ class OpsSpec extends AnyFunSuite {
         (a, ha) <- hashes; (b, hb) <- hashes if a < b
         d = Dedup.hamming(ha, hb) if d <= maxDist
       } yield (a, b, d)).toSet
-      val banded = Dedup.simhashNearDups(sampleDf, maxDist).collect()
+      val banded = Dedup.simhashNearDups(sampleDf, maxDist,
+          allowCoarseBands = true).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(banded === brute, s"maxDist=$maxDist")
     }
