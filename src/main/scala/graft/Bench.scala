@@ -60,7 +60,30 @@ object Bench {
         "-XX:+UseParallelGC",
         s"-Djava.io.tmpdir=$scratch", s"-Dspark.local.dir=$scratch",
         "-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchBuild") ++ args
-    new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+    // per-stage [timing] lines flow into the bench JSON (the artifact
+    // itself shows where the scaling ratio is lost)
+    pb.environment().put("GRAFT_BUILD_TIMING", "1")
+    pb.start()
+  }
+
+  /** Parse `[timing] <stage> <sec>s` lines from a worker's output into
+    * per-stage seconds (last write wins; shard groups summed by max). */
+  private def parseStages(out: String): Map[String, Double] = {
+    val re = "\\[timing\\] (.+) ([0-9.]+)s".r
+    val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+    re.findAllMatchIn(out).foreach { mm =>
+      val raw = mm.group(1).trim
+      val sec = mm.group(2).toDouble
+      // collapse per-group lines (g0 segments, g1 manifest, ...) into the
+      // max across groups — groups run concurrently, wall ~ max
+      val key =
+        if (raw.matches("g\\d+ .*")) raw.split(" ", 2)(1)
+        else raw
+      if (raw.matches("g\\d+ .*")) m(key) = math.max(m.getOrElse(key, 0.0), sec)
+      else m(key) = sec
+    }
+    m.toMap
   }
 
   /** Scratch space for forked builds: tmpfs when available (isolates the
@@ -74,9 +97,10 @@ object Bench {
     base.toString
   }
 
-  /** One pinned full-build measurement in a fresh JVM. */
-  private def fullBuildAt(cores: Int, sfDir: String,
-                          repl: Int): (Double, Double, Long) = {
+  /** One pinned full-build measurement in a fresh JVM.
+    * Returns (fps, sec, docs, per-stage seconds). */
+  private def fullBuildAt(cores: Int, sfDir: String, repl: Int)
+      : (Double, Double, Long, Map[String, Double]) = {
     val root = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratch), s"idx_n$cores").toString
     val out = drain(forkWorker(0 until cores, cores,
@@ -84,7 +108,8 @@ object Bench {
     val m = "cores=(\\d+) docs=(\\d+) sec=([0-9.]+) fps=([0-9.]+)".r
       .findFirstMatchIn(out)
       .getOrElse(throw new RuntimeException(s"bench fork failed:\n$out"))
-    val res = (m.group(4).toDouble, m.group(3).toDouble, m.group(2).toLong)
+    val res = (m.group(4).toDouble, m.group(3).toDouble, m.group(2).toLong,
+      parseStages(out))
     // free the tmpfs space between runs
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
@@ -162,25 +187,28 @@ object Bench {
     // IDENTICAL runs minutes apart). The N and 4N runs of one iteration
     // execute back-to-back so each PAIR sees a similar steal environment;
     // the reported efficiency is the MEDIAN OF PER-PAIR RATIOS (robust to
-    // correlated noise), alongside per-level median throughputs.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val runsN = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
-    val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
+    // correlated noise), alongside per-level median throughputs. 5
+    // iterations by default so a single stolen pair cannot set the median.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    type Run = (Double, Double, Long, Map[String, Double])
+    val runsN = scala.collection.mutable.ArrayBuffer[Run]()
+    val runs4N = scala.collection.mutable.ArrayBuffer[Run]()
     (1 to iters).foreach { _ =>
       if (mode == "cluster") {
-        runsN += clusterBuild(1, coresPer, sfDir, repl)
-        runs4N += clusterBuild(4, coresPer, sfDir, repl)
+        val (f1, s1, d1) = clusterBuild(1, coresPer, sfDir, repl)
+        runsN += ((f1, s1, d1, Map.empty[String, Double]))
+        val (f4, s4, d4) = clusterBuild(4, coresPer, sfDir, repl)
+        runs4N += ((f4, s4, d4, Map.empty[String, Double]))
       } else {
         runsN += fullBuildAt(n1, sfDir, repl)
         runs4N += fullBuildAt(n4, sfDir, repl)
       }
     }
-    def median(rs: Seq[(Double, Double, Long)]): (Double, Double, Long) =
-      rs.sortBy(_._1).apply(rs.size / 2)
-    val (fpsN, secN, _) = median(runsN.toSeq)
-    val (fps4N, sec4N, nDocs) = median(runs4N.toSeq)
+    def median(rs: Seq[Run]): Run = rs.sortBy(_._1).apply(rs.size / 2)
+    val (fpsN, secN, _, stagesN) = median(runsN.toSeq)
+    val (fps4N, sec4N, nDocs, stages4N) = median(runs4N.toSeq)
     val perPairEff = runsN.zip(runs4N)
-      .map { case ((fN, _, _), (f4, _, _)) => f4 / (4.0 * fN) }.sorted
+      .map { case ((fN, _, _, _), (f4, _, _, _)) => f4 / (4.0 * fN) }.sorted
     val efficiency = perPairEff(perPairEff.size / 2)
 
     // ---- warm query latency (full machine) ------------------------------
@@ -198,45 +226,74 @@ object Bench {
       val idx = new FtsIndex(spark, root).warm()
       val querySet = Seq("merge", "sort table", "import", "merge sort scan",
         "getusername", "handler", "stream batch")
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREPS", "5").toInt
       // warmup
       idx.searchCollected(FtsQuery("merge"))
       idx.searchWand("merge", 10)
-      val exTimes = querySet.map { q =>
-        val (_, t) = timeS(idx.searchCollected(FtsQuery(q, limit = 10)))
-        qtimes(s"q_ex_${q.replace(' ', '_')}") = t
-        t
-      }.sorted
-      val wandTimes = querySet.map { q =>
-        val (_, t) = timeS(idx.searchWand(q, 10))
-        qtimes(s"q_wand_${q.replace(' ', '_')}") = t
-        t
-      }.sorted
-      p50Ex = exTimes(exTimes.size / 2)
-      p50Wand = wandTimes(wandTimes.size / 2)
+
+      /** reps timed runs per query; per-query MEDIAN recorded (one stolen
+        * rep can no longer set a query's number) + raw reps for noise
+        * transparency. Returns the p50 across query medians. */
+      def measure(label: String, qs: Seq[String])(f: String => Unit): Double = {
+        val medians = qs.map { q =>
+          val ts = (0 until reps).map { i =>
+            val (_, t) = timeS(f(q))
+            qtimes(s"q_${label}_${q.replace(' ', '_')}_r$i") = t
+            t
+          }.sorted
+          val med = ts(ts.size / 2)
+          qtimes(s"q_${label}_${q.replace(' ', '_')}") = med
+          med
+        }.sorted
+        medians(medians.size / 2)
+      }
+
+      p50Ex = measure("ex", querySet)(q =>
+        idx.searchCollected(FtsQuery(q, limit = 10)))
+      p50Wand = measure("wand", querySet)(q => idx.searchWand(q, 10))
       // driver-side warm cache (reference daemon regime): first pass loads
-      // the touched blocks/docs, second pass is the measured hot path
+      // the touched blocks/docs, later passes are the measured hot path
       val cache = new graft.query.FtsQueryCache(idx)
       querySet.foreach(q => cache.search(FtsQuery(q, limit = 10)))
-      val cachedTimes = querySet.map { q =>
-        val (_, t) = timeS(cache.search(FtsQuery(q, limit = 10)))
-        qtimes(s"q_cached_${q.replace(' ', '_')}") = t
-        t
-      }.sorted
-      p50Cached = cachedTimes(cachedTimes.size / 2)
+      p50Cached = measure("cached", querySet)(q =>
+        cache.search(FtsQuery(q, limit = 10)))
+      // warm-cache coverage beyond exact terms (round-3): filtered,
+      // phrase-bearing, and fuzzy shapes served from the driver cache
+      val extraShapes = Seq(
+        "filtered" -> FtsQuery("merge", limit = 10, languages = Seq("py")),
+        "phrase" -> FtsQuery("import_os", limit = 10),
+        "fuzzy" -> FtsQuery("mergs", editDistance = 1, limit = 10))
+      extraShapes.foreach { case (_, q) => cache.search(q) } // load
+      extraShapes.foreach { case (name, q) =>
+        val ts = (0 until reps).map { _ => timeS(cache.search(q))._2 }.sorted
+        qtimes(s"q_cached_$name") = ts(ts.size / 2)
+      }
     } finally spark.stop()
 
     qtimes(s"build_n$n1") = secN
     qtimes(s"build_n$n4") = sec4N
-    val total = qtimes.values.sum // seconds only — fps entries added after
+    // seconds total over builds + per-query MEDIANS (raw reps excluded so
+    // reps don't inflate the headline value); fps/stage entries added after
+    val total = qtimes.collect {
+      case (k, v) if !k.matches(".*_r\\d+$") => v
+    }.sum
     // raw per-iteration throughputs (noise transparency; excluded from the
     // seconds total)
-    runsN.zipWithIndex.foreach { case ((f, _, _), i) =>
+    runsN.zipWithIndex.foreach { case ((f, _, _, _), i) =>
       qtimes(s"fps_n${n1}_i$i") = f }
-    runs4N.zipWithIndex.foreach { case ((f, _, _), i) =>
+    runs4N.zipWithIndex.foreach { case ((f, _, _, _), i) =>
       qtimes(s"fps_n${n4}_i$i") = f }
+    // per-stage seconds of the MEDIAN run at each level — the artifact
+    // itself shows which stage loses the N->4N ratio
+    def stageKey(s: String): String =
+      s.replace(' ', '_').replace("-", "_")
+    stagesN.foreach { case (k, v) =>
+      qtimes(s"stage_n${n1}_${stageKey(k)}") = v }
+    stages4N.foreach { case (k, v) =>
+      qtimes(s"stage_n${n4}_${stageKey(k)}") = v }
     val qs = qtimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"fts index build + BM25 top-10 query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"files_per_sec_n$n1":$fpsN,"files_per_sec_n$n4":$fps4N,"scaling_efficiency":$efficiency,"p50_query_exhaustive_sec":$p50Ex,"p50_query_wand_sec":$p50Wand,"p50_query_cached_sec":$p50Cached}""")
+      s"""{"metric":"fts index build + BM25 top-10 query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"scaling_mode":"$mode","bench_iters":$iters,"files_per_sec_n$n1":$fpsN,"files_per_sec_n$n4":$fps4N,"scaling_efficiency":$efficiency,"p50_query_exhaustive_sec":$p50Ex,"p50_query_wand_sec":$p50Wand,"p50_query_cached_sec":$p50Cached}""")
   }
 }

@@ -92,7 +92,7 @@ object FtsIndexBuilder {
     val version = resumableVersion(hfs, root)
     val vDir = s"$root/$version"
     val docsDir = s"$vDir/docs"
-    if (!hfs.exists(new Path(docsDir, "_SUCCESS"))) {
+    if (!hfs.exists(new Path(docsDir, "_SUCCESS"))) phase("docs") {
       val withIds =
         if (source.columns.contains("identifiers")) source
         else source.withColumn("identifiers",
@@ -125,7 +125,7 @@ object FtsIndexBuilder {
     // of once per shard group — and from SMALL columns only (clen is
     // materialized at write time so content is never re-read)
     val dsDir = s"$vDir/docstats"
-    if (!hfs.exists(new Path(dsDir, "_SUCCESS"))) {
+    if (!hfs.exists(new Path(dsDir, "_SUCCESS"))) phase("docstats") {
       val d = spark.read.parquet(docsDir)
       val lenCol = if (d.columns.contains("clen")) $"clen"
                    else length($"content")
@@ -220,15 +220,98 @@ object FtsIndexBuilder {
     nDocs
   }
 
-  /** Per-posting accumulator used during the doc-local combine. */
+  /** Per-posting accumulator used during the doc-local combine. The
+    * common case (tf == 1 — most distinct terms appear once per doc) is
+    * buffer-free: the byte stream is only allocated on the SECOND
+    * occurrence. At ~10^2 distinct terms per doc x 10^5 docs per
+    * partition this removes the dominant small-allocation source of the
+    * scan (the measured scaling-efficiency ceiling, BENCH/BASELINE.md §3). */
   private final class PostingAcc {
-    val out = new java.io.ByteArrayOutputStream(8)
-    var last = -1
+    private var out: java.io.ByteArrayOutputStream = null
+    private var first = -1
+    private var last = -1
     var n = 0L
     def add(pos: Int): Unit = {
-      if (n == 0L) Codec.writeVarLong(out, pos.toLong)
-      else Codec.writeVarLong(out, (pos - last).toLong)
+      if (n == 0L) first = pos
+      else {
+        if (out == null) {
+          out = new java.io.ByteArrayOutputStream(8)
+          Codec.writeVarLong(out, first.toLong)
+        }
+        Codec.writeVarLong(out, (pos - last).toLong)
+      }
       last = pos; n += 1
+    }
+    def toBytes: Array[Byte] = {
+      if (out != null) return out.toByteArray
+      // single position: one varint
+      var v = first.toLong
+      var len = 1
+      while ((v >>> 7) != 0) { len += 1; v >>>= 7 }
+      val b = new Array[Byte](len)
+      v = first.toLong
+      var i = 0
+      while ((v & ~0x7FL) != 0) {
+        b(i) = ((v & 0x7F) | 0x80).toByte; v >>>= 7; i += 1
+      }
+      b(i) = v.toByte
+      b
+    }
+  }
+
+  /** Per-PARTITION string intern pool: a distinct term materializes as ONE
+    * String for the whole partition instead of one per (doc, term) —
+    * "import" in 10^5 docs used to allocate 10^5 identical Strings per map
+    * partition. Open-addressed, capacity-capped (beyond the cap new terms
+    * are returned uninterned so pathological vocabularies can't pin
+    * unbounded memory). */
+  private final class InternPool(initialCap: Int, maxEntries: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var hashes = new Array[Int](cap)
+    private var strs = new Array[String](cap)
+    private var n = 0
+
+    @inline private def eqBuf(t: String, buf: Array[Char], len: Int): Boolean = {
+      if (t.length != len) return false
+      var i = 0
+      while (i < len) { if (t.charAt(i) != buf(i)) return false; i += 1 }
+      true
+    }
+
+    def intern(buf: Array[Char], len: Int, hash: Int): String = {
+      var i = hash & mask
+      while (true) {
+        val s = strs(i)
+        if (s == null) {
+          val made = new String(buf, 0, len)
+          if (n < maxEntries) {
+            hashes(i) = hash; strs(i) = made; n += 1
+            if (n * 4 > cap * 3 && cap < maxEntries * 2) grow()
+          }
+          return made
+        } else if (hashes(i) == hash && eqBuf(s, buf, len)) {
+          return s
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    private def grow(): Unit = {
+      val oh = hashes; val os = strs; val oc = cap
+      cap *= 2; mask = cap - 1
+      hashes = new Array[Int](cap)
+      strs = new Array[String](cap)
+      var i = 0
+      while (i < oc) {
+        if (os(i) != null) {
+          var j = oh(i) & mask
+          while (strs(j) != null) j = (j + 1) & mask
+          hashes(j) = oh(i); strs(j) = os(i)
+        }
+        i += 1
+      }
     }
   }
 
@@ -253,13 +336,14 @@ object FtsIndexBuilder {
       true
     }
 
-    def getOrInsert(buf: Array[Char], len: Int, hash: Int): PostingAcc = {
+    def getOrInsert(buf: Array[Char], len: Int, hash: Int,
+                    pool: InternPool): PostingAcc = {
       var i = hash & mask
       while (true) {
         val acc = accs(i)
         if (acc == null) {
           val a = new PostingAcc
-          hashes(i) = hash; terms(i) = new String(buf, 0, len); accs(i) = a
+          hashes(i) = hash; terms(i) = pool.intern(buf, len, hash); accs(i) = a
           n += 1
           if (n * 4 > cap * 3) grow()
           return a
@@ -333,8 +417,8 @@ object FtsIndexBuilder {
     * differential spec asserts it). Emits the same rows as
     * combine-over-Tokenizer did; allocation is O(distinct terms), not
     * O(token occurrences). Returns (contentMap, rawMap or null, dl). */
-  private def scanContent(text: String, indexRaw: Boolean)
-      : (TermMap, TermMap, Long) = {
+  private def scanContent(text: String, indexRaw: Boolean,
+                          pool: InternPool): (TermMap, TermMap, Long) = {
     val cMap = new TermMap(64)
     val rMap = if (indexRaw) new TermMap(64) else null
     val buf = new Array[Char](Tokenizer.MaxTokenLen)
@@ -368,14 +452,14 @@ object FtsIndexBuilder {
           j += 1
         }
         if (ascii) {
-          cMap.getOrInsert(buf, len, hLow).add(pos)
+          cMap.getOrInsert(buf, len, hLow, pool).add(pos)
           if (rMap != null) {
             // reuse buf for the raw form only if it differs
-            if (!sawUpper) rMap.getOrInsert(buf, len, hRaw).add(pos)
+            if (!sawUpper) rMap.getOrInsert(buf, len, hRaw, pool).add(pos)
             else {
               var k = 0
               while (k < len) { buf(k) = text.charAt(start + k); k += 1 }
-              rMap.getOrInsert(buf, len, hRaw).add(pos)
+              rMap.getOrInsert(buf, len, hRaw, pool).add(pos)
             }
           }
         } else {
@@ -470,6 +554,7 @@ object FtsIndexBuilder {
       indexRaw: Boolean, codeAn: Boolean, ngrams: Boolean,
       bucketDocs: Long): Iterator[RunRow] = new Iterator[RunRow] {
     private val accs = new java.util.LinkedHashMap[(String, String), RunAcc]()
+    private val pool = new InternPool(4096, 1 << 21)
     private var curShard = Int.MinValue
     private var curBucket = Long.MinValue
     private var lastDoc = Long.MinValue
@@ -501,12 +586,12 @@ object FtsIndexBuilder {
       val b = id / bucketDocs
       if (sh != curShard || b != curBucket || id <= lastDoc) flush()
       curShard = sh; curBucket = b; lastDoc = id
-      val (cMap, rMap, dl) = scanContent(content, indexRaw)
+      val (cMap, rMap, dl) = scanContent(content, indexRaw, pool)
       cMap.foreachEntry((t, acc) =>
-        addPosting(FieldContent, t, id, dl, acc.n, acc.out.toByteArray))
+        addPosting(FieldContent, t, id, dl, acc.n, acc.toBytes))
       if (rMap != null)
         rMap.foreachEntry((t, acc) =>
-          addPosting(FieldRaw, t, id, dl, acc.n, acc.out.toByteArray))
+          addPosting(FieldRaw, t, id, dl, acc.n, acc.toBytes))
       val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
       combine(sh, FieldIdent, id, identToks.size.toLong, identToks.iterator)
         .foreach { case (_, _, t, _, dli, tfi, pb) =>
@@ -585,7 +670,7 @@ object FtsIndexBuilder {
       def hasNext: Boolean = it.hasNext
       def next(): (Int, String, String, Long, Long, Long, Array[Byte]) = {
         val e = it.next()
-        (sh, field, e.getKey, id, dl, e.getValue.n, e.getValue.out.toByteArray)
+        (sh, field, e.getKey, id, dl, e.getValue.n, e.getValue.toBytes)
       }
     }
   }
