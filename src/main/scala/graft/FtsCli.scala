@@ -16,6 +16,10 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *     [--regex] [--limit N] [--snippet-lines N] [--language L]...
   *     [--exclude-language L]... [--path-filter G]... [--exclude-path G]...
   *     [--wand] [--quiet]
+  *   graft.FtsCli upsert <batchParquet> <indexDir>   (watch-mode update)
+  *   graft.FtsCli delete <keysParquet> <indexDir>    (keys: repo, path)
+  *   graft.FtsCli fold <indexDir>                    (tiered delta compaction)
+  *   graft.FtsCli compact <indexDir>                 (full rebuild of live set)
   */
 object FtsCli {
 
@@ -71,9 +75,31 @@ object FtsCli {
         else idx.searchCollected(q)
       render(results, quiet)
 
+    case "upsert" :: source :: indexDir :: Nil =>
+      val gen = graft.index.FtsDeltas.upsert(
+        spark, spark.read.parquet(source), indexDir)
+      println(s"Upserted batch as delta generation d$gen")
+
+    case "delete" :: keys :: indexDir :: Nil =>
+      val gen = graft.index.FtsDeltas.delete(
+        spark, spark.read.parquet(keys), indexDir)
+      println(s"Tombstoned keys at delta generation d$gen")
+
+    case "fold" :: indexDir :: Nil =>
+      graft.index.FtsDeltas.fold(spark, indexDir) match {
+        case Some(g) => println(s"Folded deltas into generation d$g")
+        case None => println("Nothing to fold (fewer than 2 generations)")
+      }
+
+    case "compact" :: indexDir :: Nil =>
+      graft.index.FtsDeltas.compact(spark, indexDir)
+      println("Compacted to a fresh version (== full rebuild)")
+
     case _ =>
       System.err.println("usage: FtsCli index <sourceParquet> <indexDir> | " +
-        "FtsCli query <indexDir> <text> [flags]")
+        "FtsCli query <indexDir> <text> [flags] | " +
+        "FtsCli upsert|delete <parquet> <indexDir> | " +
+        "FtsCli fold|compact <indexDir>")
       sys.exit(2)
   }
 
