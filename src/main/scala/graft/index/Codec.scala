@@ -24,6 +24,23 @@ object Codec {
     out.write(v.toInt)
   }
 
+  /** One value as a standalone varint byte array (allocation-free path
+    * for single-element streams — no ByteArrayOutputStream). */
+  def encodeVarLong(value: Long): Array[Byte] = {
+    require(value >= 0, s"varint requires non-negative, got $value")
+    var v = value
+    var len = 1
+    while ((v >>> 7) != 0) { len += 1; v >>>= 7 }
+    val b = new Array[Byte](len)
+    v = value
+    var i = 0
+    while ((v & ~0x7FL) != 0L) {
+      b(i) = ((v & 0x7F) | 0x80).toByte; v >>>= 7; i += 1
+    }
+    b(i) = v.toByte
+    b
+  }
+
   /** Encode sorted docIds as delta gaps, varint packed. */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
     val out = new ByteArrayOutputStream(sorted.length * 2)

@@ -97,17 +97,18 @@ object FtsDeltas {
     val gen = nextGen(spark, vDir)
     val dDir = s"$vDir/deltas/d$gen"
 
+    // rank overflow guard: doc_id packs row_number into 28 bits per
+    // sub-shard. A batch smaller than 2^28 rows can't overflow ANY
+    // sub-shard's rank space (ADVICE r02 #4). Checked BEFORE anything is
+    // written — failing after the docs write would leave a torn,
+    // reader-visible half-generation (postings-less docs, no tombstones).
+    require(batch.count() < (1L << 28),
+      "delta upsert batch exceeds the 2^28-docs-per-generation id space; " +
+        "split the batch or run a full rebuild")
     assignDeltaDocs(batch, gen, cfg)
       .write.mode("overwrite").parquet(s"$dDir/docs")
 
     val written = spark.read.parquet(s"$dDir/docs")
-    // rank overflow guard: doc_id packs row_number into 28 bits per
-    // sub-shard. A batch smaller than 2^28 rows can't overflow ANY
-    // sub-shard's rank space (ADVICE r02 #4); checked on the cheap count
-    // of what was just written, before segments are built.
-    require(written.count() < (1L << 28),
-      "delta upsert batch exceeds the 2^28-docs-per-generation id space; " +
-        "split the batch or run a full rebuild")
     writeDeltaSegments(spark, written, dDir, gen, cfg)
 
     written.select(col("repo"), col("path"), lit(gen).as("gen"))
@@ -216,8 +217,13 @@ object FtsDeltas {
       .withColumn("gen", lit(gNew))
       .write.mode("overwrite").parquet(s"$tmpDir/tombstones")
 
-    // publish, then retire the folded-away generations
-    hfs.rename(new Path(tmpDir), new Path(s"$vDir/deltas/d$gNew"))
+    // publish, then retire the folded-away generations. Hadoop rename
+    // reports failure by RETURNING FALSE (e.g. a concurrent upsert claimed
+    // d<gNew>) — deleting the sources after a failed publish would lose
+    // every delta since the last compact
+    require(hfs.rename(new Path(tmpDir), new Path(s"$vDir/deltas/d$gNew")),
+      s"fold publish failed: could not rename $tmpDir to d$gNew " +
+        "(concurrent writer?); no generation was deleted")
     gens.foreach(g => hfs.delete(new Path(s"$vDir/deltas/d$g"), true))
     Some(gNew)
   }

@@ -242,21 +242,9 @@ object FtsIndexBuilder {
       }
       last = pos; n += 1
     }
-    def toBytes: Array[Byte] = {
-      if (out != null) return out.toByteArray
-      // single position: one varint
-      var v = first.toLong
-      var len = 1
-      while ((v >>> 7) != 0) { len += 1; v >>>= 7 }
-      val b = new Array[Byte](len)
-      v = first.toLong
-      var i = 0
-      while ((v & ~0x7FL) != 0) {
-        b(i) = ((v & 0x7F) | 0x80).toByte; v >>>= 7; i += 1
-      }
-      b(i) = v.toByte
-      b
-    }
+    def toBytes: Array[Byte] =
+      if (out != null) out.toByteArray
+      else Codec.encodeVarLong(first.toLong) // single position
   }
 
   /** Per-PARTITION string intern pool: a distinct term materializes as ONE

@@ -297,8 +297,13 @@ class FtsIndex(spark: SparkSession, root: String) {
         var p = col("field") === f &&
           abs(length(col("term")) - lit(w.length)) <= d
         if (dictHasCmask)
-          p = p && bit_count(col("cmask")
-            .bitwiseAND(lit(~Distance.charMask(w)))) <= d
+          // NULL cmask (a legacy base dict merged with deltas) must PASS
+          // the prefilter, not be filtered out — the bitmap is an
+          // optimization, never a correctness gate
+          p = p && coalesce(
+            bit_count(col("cmask")
+              .bitwiseAND(lit(~Distance.charMask(w)))) <= d,
+            lit(true))
         p && damerauLe(col("term"), lit(w), lit(d))
       case RegexQ(f, pat) =>
         col("field") === f && col("term").rlike(s"^(?:$pat)$$")
@@ -323,25 +328,21 @@ class FtsIndex(spark: SparkSession, root: String) {
   }
 
   /** Predicate over (field, term) used to prune both the segment scan and
-    * the dict lookup. */
+    * the dict lookup. Callers pass EXPANDED nodes (fuzzy/regex already
+    * resolved to term sets by [[expandNodes]]) so the predicate is always
+    * a pushable field/term isin — never a UDF over the segments scan. */
   private def termPredicate(nodes: Seq[Node]): org.apache.spark.sql.Column = {
+    require(!nodes.exists(_.alts.exists(a =>
+      a.isInstanceOf[FuzzyQ] || a.isInstanceOf[RegexQ])),
+      "dynamic alternatives must be dictionary-expanded before scoring")
     val exactByField = nodes.flatMap(_.alts).flatMap {
       case TermQ(f, t) => Seq((f, t))
       case PhraseQ(f, ts) => ts.map((f, _))
       case _ => Nil
     }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-    val damerauLe = udf((t: String, w: String, d: Int) =>
-      Distance.damerauBounded(t, w, d) <= d)
     val parts = exactByField.map { case (f, ts) =>
       col("field") === f && col("term").isin(ts: _*)
-    }.toSeq ++ nodes.flatMap(_.alts).collect {
-      case FuzzyQ(f, w, d) =>
-        col("field") === f &&
-          abs(length(col("term")) - lit(w.length)) <= d &&
-          damerauLe(col("term"), lit(w), lit(d))
-      case RegexQ(f, p) =>
-        col("field") === f && col("term").rlike(s"^(?:$p)$$")
-    }
+    }.toSeq
     parts.reduceOption(_ || _).getOrElse(lit(false))
   }
 
@@ -628,8 +629,17 @@ class FtsIndex(spark: SparkSession, root: String) {
       val id = r.getLong(0)
       scores.get(id).map { sc =>
         val content = r.getString(4)
-        val m = Snippets.findMatch(content, text, q.caseSensitive,
-          q.editDistance)
+        // same extraction as search(): regex patterns must not be searched
+        // as literal text (regex rides WAND after expansion now)
+        val m =
+          if (q.useRegex) {
+            val flags =
+              if (q.caseSensitive) 0
+              else java.util.regex.Pattern.CASE_INSENSITIVE
+            Snippets.findRegexMatch(content,
+              java.util.regex.Pattern.compile(text, flags))
+          } else Snippets.findMatch(content, text, q.caseSensitive,
+            q.editDistance)
         m match {
           case Some(mm) =>
             val e = Snippets.extractSnippet(content, mm.start, snippetLines)
@@ -709,19 +719,10 @@ object FtsIndex {
               matched = true
             }
           }
-        case FuzzyQ(f, w, d) =>
-          postings.foreach { p =>
-            if (p._2 == f && graft.functions.Distance.damerauBounded(p._3, w, d) <= d) {
-              total += bm25(p._4.toDouble, p._5, f, idf(p._7)); matched = true
-            }
-          }
-        case RegexQ(f, pat) =>
-          val re = java.util.regex.Pattern.compile(s"^(?:$pat)$$")
-          postings.foreach { p =>
-            if (p._2 == f && re.matcher(p._3).matches()) {
-              total += bm25(p._4.toDouble, p._5, f, idf(p._7)); matched = true
-            }
-          }
+        case other =>
+          // fuzzy/regex alts are dictionary-expanded to TermQs before any
+          // scoring path runs ([[FtsIndex.expandNodes]])
+          sys.error(s"unexpanded dynamic alternative in scoreDoc: $other")
       }
       if (!matched) all = false
     }

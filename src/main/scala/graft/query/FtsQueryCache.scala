@@ -44,7 +44,13 @@ import graft.index.FtsSchema._
   */
 class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
                     maxDocs: Int = 16384, maxDfCached: Long = 262144,
-                    maxOverpull: Int = 16384) {
+                    maxOverpull: Int = 16384,
+                    /** bound on a single QUERY's total posting volume and
+                      * expanded term count — a broad regex/fuzzy expansion
+                      * whose terms are individually small can still sum to
+                      * the whole index. */
+                    maxQueryDf: Long = 1 << 20,
+                    maxQueryTerms: Int = 1024) {
   import FtsIndex._
 
   private def lru[K, V](cap: Int) =
@@ -189,10 +195,14 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
       case _ => Nil
     }).distinct
 
-    // the block-fetch gate: any stopword-grade term routes the query to
-    // the cluster (its posting list must never be collected to the driver)
+    // the block-fetch gates: a stopword-grade term, a too-broad expansion
+    // (e.g. regex ".*"), or a query whose SUMMED posting volume exceeds
+    // the budget routes to the cluster — nothing index-sized is ever
+    // collected to the driver
+    if (fts.size > maxQueryTerms) return idx.searchWand(q)
     val dfs = dfsFor(fts)
-    if (dfs.valuesIterator.exists(_ > maxDfCached)) return idx.searchWand(q)
+    if (dfs.valuesIterator.exists(_ > maxDfCached) ||
+        dfs.valuesIterator.sum > maxQueryDf) return idx.searchWand(q)
 
     val k = if (q.limit == 0) 100000 else q.limit
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
@@ -204,10 +214,13 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     val hasPhrase = nodes.exists(_.alts.exists(_.isInstanceOf[PhraseQ]))
 
     // full sorted match list for phrase shapes (exhaustive over the small,
-    // df-gated posting sets); lazy WAND pulls otherwise
+    // df-gated posting sets) — computed ONCE even across overpull rounds;
+    // lazy WAND pulls otherwise
+    lazy val phraseMatches: Seq[Wand.Scored] =
+      scorePhraseLocal(nodes, blocks, dfs)
     def pullTopK(kk: Int): (Seq[Wand.Scored], Boolean) =
       if (hasPhrase) {
-        val all = scorePhraseLocal(nodes, blocks, dfs)
+        val all = phraseMatches
         (all.take(kk), all.size <= kk)
       } else {
         val groupSpec = nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })

@@ -161,6 +161,68 @@ class FtsRound3Spec extends AnyFunSuite {
       "hot cached queries of every shape must run zero Spark jobs")
   }
 
+  test("regex match/snippet extraction is identical across " +
+       "search/WAND/cached paths") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx)
+    val q = FtsQuery("auth.*", useRegex = true, limit = 5)
+    def key(r: graft.query.SearchResult) =
+      (r.doc_id, r.line, r.column, r.match_text, r.snippet)
+    val ex = idx.searchCollected(q).map(key)
+    val wand = idx.searchWand(q).map(key)
+    val cached = cache.search(q).map(key)
+    assert(ex.nonEmpty)
+    // the pattern must be matched as a REGEX, not searched as literal text
+    assert(ex.forall(r => r._4.toLowerCase.startsWith("auth")))
+    assert(wand === ex, "WAND regex extraction diverged")
+    assert(cached === ex, "cached regex extraction diverged")
+  }
+
+  test("legacy base dict without cmask: fuzzy expansion still sees " +
+       "base terms after a delta merge") {
+    val root = freshIndex(Fixtures.corpusA)
+    // simulate an index built before the cmask column existed
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val stripped = spark.read.parquet(s"$vDir/dict").drop("cmask")
+    stripped.write.mode("overwrite").parquet(s"$vDir/dict_nocmask")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$vDir/dict"), true)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$vDir/dict_nocmask"),
+      new org.apache.hadoop.fs.Path(s"$vDir/dict")))
+    // a delta whose dict DOES carry cmask forces the merged-dict branch
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/extra.py", "e" * 40, "python",
+        "def unrelated_fn(): return 1", Nil))), root, cfg)
+    val idx = new FtsIndex(spark, root)
+    // "authenticat" ~1 edit from base term "authenticate" — a NULL-cmask
+    // base row must pass the prefilter
+    val rs = idx.searchCollected(FtsQuery("authenticat", editDistance = 1))
+    assert(rs.nonEmpty, "base-dict terms must survive fuzzy expansion")
+  }
+
+  test("cache query-total gate: a broad expansion never collects blocks " +
+       "to the driver") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx, maxQueryDf = 10)
+    // every term is individually small but the expansion sums past the
+    // query budget
+    val q = FtsQuery("[a-z_]+", useRegex = true, limit = 5)
+    val c = cache.search(q).map(r => (r.doc_id, r.score))
+    val e = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+    // scores of a ~500-term OR node are float sums in path-specific order;
+    // docs identical, scores equal to fp tolerance
+    assert(c.map(_._1) === e.map(_._1))
+    c.zip(e).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) < 1e-8) }
+    assert(cache.cachedTermCount === 0,
+      "over-budget query must not fetch posting blocks into the cache")
+    val cache2 = new graft.query.FtsQueryCache(idx, maxQueryTerms = 3)
+    assert(cache2.search(q).map(_.doc_id) === e.map(_._1))
+    assert(cache2.cachedTermCount === 0)
+  }
+
   test("cached path validates query parameters like the cluster path") {
     val root = freshIndex(Fixtures.corpusA)
     val idx = new FtsIndex(spark, root)
