@@ -541,7 +541,11 @@ object FtsIndexBuilder {
       docsIt: Iterator[(Int, Long, String, Seq[String])],
       indexRaw: Boolean, codeAn: Boolean, ngrams: Boolean,
       bucketDocs: Long): Iterator[RunRow] = new Iterator[RunRow] {
-    private val accs = new java.util.LinkedHashMap[(String, String), RunAcc]()
+    // one map PER FIELD, keyed by the (partition-interned) term String —
+    // no (field, term) Tuple2 allocation per (doc, term) lookup
+    private val fieldNames = Array(FieldContent, FieldRaw, FieldIdent)
+    private val accsF = Array.fill(fieldNames.length)(
+      new java.util.LinkedHashMap[String, RunAcc]())
     private val pool = new InternPool(4096, 1 << 21)
     private var curShard = Int.MinValue
     private var curBucket = Long.MinValue
@@ -549,23 +553,27 @@ object FtsIndexBuilder {
     private val outQ = new scala.collection.mutable.Queue[RunRow]()
 
     private def flush(): Unit = {
-      val e = accs.entrySet().iterator()
-      while (e.hasNext) {
-        val kv = e.next()
-        val a = kv.getValue
-        outQ += ((curShard, kv.getKey._1, kv.getKey._2, curBucket,
-          a.firstDoc, a.n, a.docOut.toByteArray, a.tfOut.toByteArray,
-          a.dlOut.toByteArray, a.posOut.toByteArray))
+      var fi = 0
+      while (fi < accsF.length) {
+        val e = accsF(fi).entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          val a = kv.getValue
+          outQ += ((curShard, fieldNames(fi), kv.getKey, curBucket,
+            a.firstDoc, a.n, a.docOut.toByteArray, a.tfOut.toByteArray,
+            a.dlOut.toByteArray, a.posOut.toByteArray))
+        }
+        accsF(fi).clear()
+        fi += 1
       }
-      accs.clear()
     }
 
-    @inline private def addPosting(f: String, t: String, doc: Long,
+    @inline private def addPosting(fi: Int, t: String, doc: Long,
                                    dl: Long, tf: Long,
                                    pos: Array[Byte]): Unit = {
-      val k = (f, t)
-      var a = accs.get(k)
-      if (a == null) { a = new RunAcc(doc); accs.put(k, a) }
+      val m = accsF(fi)
+      var a = m.get(t)
+      if (a == null) { a = new RunAcc(doc); m.put(t, a) }
       a.add(doc, dl, tf, pos)
     }
 
@@ -576,14 +584,14 @@ object FtsIndexBuilder {
       curShard = sh; curBucket = b; lastDoc = id
       val (cMap, rMap, dl) = scanContent(content, indexRaw, pool)
       cMap.foreachEntry((t, acc) =>
-        addPosting(FieldContent, t, id, dl, acc.n, acc.toBytes))
+        addPosting(0, t, id, dl, acc.n, acc.toBytes))
       if (rMap != null)
         rMap.foreachEntry((t, acc) =>
-          addPosting(FieldRaw, t, id, dl, acc.n, acc.toBytes))
+          addPosting(1, t, id, dl, acc.n, acc.toBytes))
       val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
       combine(sh, FieldIdent, id, identToks.size.toLong, identToks.iterator)
         .foreach { case (_, _, t, _, dli, tfi, pb) =>
-          addPosting(FieldIdent, t, id, dli, tfi, pb)
+          addPosting(2, t, id, dli, tfi, pb)
         }
     }
 
@@ -592,7 +600,7 @@ object FtsIndexBuilder {
         val (sh, id, c, ids) = docsIt.next()
         processDoc(sh, id, c, ids)
       }
-      if (outQ.isEmpty && !accs.isEmpty) flush()
+      if (outQ.isEmpty && accsF.exists(!_.isEmpty)) flush()
       outQ.nonEmpty
     }
 

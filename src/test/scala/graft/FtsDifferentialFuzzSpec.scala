@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Fixtures
+import graft.index.FtsIndexBuilder
+import graft.query.{FtsIndex, FtsQuery}
+
+/** Seeded randomized differential testing: a generated corpus and a
+  * generated query battery, asserting the three scoring paths (exhaustive
+  * / block-max WAND / driver warm cache) return identical docs and
+  * fp-tolerant-identical scores for EVERY shape (SURVEY §5 property-test
+  * strategy; results must also be invariant to parallelism, which the
+  * build specs cover). Deterministic seed — failures reproduce exactly. */
+class FtsDifferentialFuzzSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val cfg = FtsIndexBuilder.Config(nShards = 3, segmentPartitions = 4)
+
+  /** Fixed default seed (deterministic CI); override with
+    * GRAFT_FUZZ_SEED for exploratory sweeps. */
+  private val rng = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0xC0FFEEL))
+  private val vocab = Vector("merge", "sort", "scan", "hash", "join",
+    "filter", "table", "index", "query", "batch", "stream", "alpha",
+    "beta", "gamma", "delta", "sigma", "Value", "getUser", "MERGE",
+    "Sort", "x1", "y2", "int", "def")
+
+  private def randDoc(i: Int): Fixtures.Doc = {
+    val n = 5 + rng.nextInt(60)
+    val words = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+    val sep = Seq(" ", " ", "_", "(", ".", "\n")
+    val content = words.map(w =>
+      w + sep(rng.nextInt(sep.size))).mkString("")
+    val lang = Seq("py", "js", "go")(i % 3)
+    Fixtures.Doc("fuzz_repo", s"src/d$i/f_$i.$lang", i.toString * 40,
+      lang, content, Nil)
+  }
+
+  private def randQuery(): FtsQuery = {
+    def word() = vocab(rng.nextInt(vocab.size))
+    val shape = rng.nextInt(8)
+    val base = shape match {
+      case 0 => FtsQuery(word())
+      case 1 => FtsQuery(s"${word()} ${word()}")
+      case 2 => FtsQuery(s"${word()}_${word()}") // phrase via multi-token
+      case 3 => // typo'd fuzzy
+        val w = word().toLowerCase
+        val typo =
+          if (w.length > 3) w.substring(0, 2) + w.charAt(2 + rng.nextInt(w.length - 2)) + w.drop(3)
+          else w
+        FtsQuery(typo, editDistance = 1 + rng.nextInt(2))
+      case 4 => FtsQuery(word().take(3) + ".*", useRegex = true)
+      case 5 => FtsQuery(word(), caseSensitive = true)
+      case 6 => FtsQuery(s"${word()} ${word()}",
+        languages = Seq(Seq("py", "js", "go")(rng.nextInt(3))))
+      case _ => FtsQuery(word(),
+        excludeLanguages = Seq("python"),
+        pathFilters = if (rng.nextBoolean()) Seq("src/d1*") else Nil)
+    }
+    base.copy(limit = Seq(0, 3, 10)(rng.nextInt(3)))
+  }
+
+  test("random corpus x random queries: exhaustive == WAND == cached " +
+       "(docs exact, scores to fp tolerance)") {
+    val docs = (0 until 40).map(randDoc)
+    val root = TestSpark.tempDir("fuzz")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, cfg)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx)
+
+    val queries = (0 until 40).map(_ => randQuery())
+    var nonEmpty = 0
+    queries.foreach { q =>
+      val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+      val wand = idx.searchWand(q).map(r => (r.doc_id, r.score))
+      val cached = cache.search(q).map(r => (r.doc_id, r.score))
+      if (ex.nonEmpty) nonEmpty += 1
+      assert(wand.map(_._1) === ex.map(_._1), s"WAND docs for $q")
+      assert(cached.map(_._1) === ex.map(_._1), s"cached docs for $q")
+      wand.zip(ex).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-8, s"WAND score for $q") }
+      cached.zip(ex).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-8, s"cached score for $q") }
+    }
+    // the battery must actually exercise matching queries
+    assert(nonEmpty >= 10, s"only $nonEmpty of ${queries.size} queries matched")
+  }
+}
