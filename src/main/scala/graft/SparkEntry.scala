@@ -44,6 +44,7 @@ object SparkEntry {
     "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
     "fts_engine_fuzzy" -> Queries.engineFuzzy,
     "fts_engine_regex" -> Queries.engineRegex,
+    "t5_chunks" -> Queries.semanticChunks,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
 
   def oracleSql: Map[String, String] =
@@ -128,6 +129,13 @@ object Queries {
       IndexBuilder.postings(IndexBuilder.tokens(corpusDf(s, dir))))
       .where(levenshtein(col("term"), lit("mergs")) <= 1)
       .select("term")
+
+  /** Semantic chunker (SURVEY T5) packing stage over the corpus: greedy
+    * line packing with line tracking, chunk_size 150 so multi-chunk docs
+    * and single-line-oversized chunks both occur. The merge/drop filter
+    * stages are ScalaTest-verified (SemanticChunkerSpec). */
+  val semanticChunks: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.sources.SemanticChunker.packingStage(corpusDf(s, dir), "content", 150)
 
   // ---- segment-engine-backed queries (DuckDB-verified end to end) -------
 
@@ -598,5 +606,56 @@ object OracleQueries {
       expandedOrTopK("damerau_levenshtein(p.term, '42') <= 1", 10),
     "fts_engine_regex" ->
       expandedOrTopK("regexp_full_match(p.term, '(mer|sor).*')", 10),
+
+    // T5 semantic-chunker packing stage: greedy line packing replayed as
+    // a per-doc recursive fold (acc carries the running chunk size; a new
+    // chunk starts when acc + len + 1 would exceed chunk_size)
+    "t5_chunks" ->
+      s"""WITH RECURSIVE ${CodeCorpus.corpusCteSql},
+         |lin0 AS (
+         |  SELECT doc_id, string_split(content, chr(10)) AS ls,
+         |         content LIKE '%' || chr(10) AS ends_nl
+         |  FROM corpus
+         |),
+         |lin AS (
+         |  SELECT doc_id, ends_nl,
+         |    CASE WHEN ends_nl THEN ls[1:len(ls) - 1] ELSE ls END AS ls
+         |  FROM lin0
+         |),
+         |docmeta AS (SELECT doc_id, len(ls) AS nlines, ends_nl FROM lin),
+         |ln AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS ln,
+         |         length(ls[CAST(i AS INTEGER)]) AS len
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+         |        FROM lin)
+         |),
+         |pack AS (
+         |  SELECT doc_id, ln, 1 AS chunk_start, len + 1 AS acc
+         |  FROM ln WHERE ln = 1
+         |  UNION ALL
+         |  SELECT l.doc_id, l.ln,
+         |    CASE WHEN p.acc + l.len + 1 > 150 THEN l.ln
+         |         ELSE p.chunk_start END,
+         |    CASE WHEN p.acc + l.len + 1 > 150 THEN l.len + 1
+         |         ELSE p.acc + l.len + 1 END
+         |  FROM pack p JOIN ln l
+         |    ON l.doc_id = p.doc_id AND l.ln = p.ln + 1
+         |),
+         |chunks AS (
+         |  SELECT doc_id, chunk_start AS line_start, max(ln) AS line_end,
+         |         max(acc) AS acc
+         |  FROM pack GROUP BY 1, 2
+         |)
+         |SELECT c.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY c.doc_id
+         |         ORDER BY c.line_start) - 1 AS INTEGER) AS chunk_index,
+         |  CAST(c.line_start AS INTEGER) AS line_start,
+         |  CAST(c.line_end AS INTEGER) AS line_end,
+         |  -- joined size = sum(len)+n-1 = acc-1; +1 when a trailing
+         |  -- newline is appended (not the file's last chunk, or the file
+         |  -- ends with one)
+         |  CAST(CASE WHEN c.line_end < d.nlines OR d.ends_nl
+         |       THEN c.acc ELSE c.acc - 1 END AS INTEGER) AS size
+         |FROM chunks c JOIN docmeta d USING (doc_id)""".stripMargin,
   )
 }

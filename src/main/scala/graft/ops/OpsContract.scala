@@ -27,6 +27,17 @@ object OpsQueries {
     "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 5)),
+    // hybrid search's semantic half (SURVEY Q15): literal-query-vector
+    // cosine top-k; the FTS half is the DuckDB-oracled engine itself
+    "hybrid_semantic" -> ((s, d) => {
+      val e = emb(s, d)
+      val qv = e.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val st = s
+      import st.implicits._
+      graft.query.Hybrid.semanticTopK(e, qv, 10)
+        .map(h => (h.vec_id, h.sim)).toDF("vec_id", "sim")
+    }),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(emb(s, d), 5, 5)),
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(emb(s, d), 5, 5)),
     // multimodal feature extraction, one row per (media, feature index),
@@ -409,6 +420,15 @@ object OpsOracle {
          |  ELSE NULL END AS fingerprint,
          |  greatest(length(text) - 7, 0) AS n_windows
          |FROM documents""".stripMargin,
+
+    "hybrid_semantic" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")}, 4) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
 
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

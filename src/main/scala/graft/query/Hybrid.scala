@@ -1,0 +1,59 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+
+/** Hybrid parallel search — SURVEY Q15 (reference: cli.py:5039-5107
+  * `_execute_hybrid_search`): FTS and semantic search run CONCURRENTLY in
+  * a 2-worker pool and their result lists are returned separately — the
+  * reference deliberately does NOT fuse scores ("results displayed
+  * separately (no score fusion)").
+  *
+  * The semantic side here is the ANN layer over an embeddings table
+  * ([[graft.ops.Ann]]): the caller supplies the query embedding (the
+  * reference obtains it from its embedding provider, which is out of
+  * scope per SURVEY §0 — the engine-side contract is identical from the
+  * query vector on). Cosine top-k goes through the same bucketed plans as
+  * the `ann_*` contract queries.
+  */
+object Hybrid {
+
+  /** One semantic hit: neighbor vector id + cosine similarity. */
+  final case class SemanticHit(vec_id: Long, sim: Double)
+
+  /** Both result lists, separate (reference displays them side by side,
+    * daemon/service.py:244-256 returns `{"semantic": ..., "fts": ...}`). */
+  final case class HybridResults(fts: Seq[SearchResult],
+                                 semantic: Seq[SemanticHit])
+
+  /** Run FTS and semantic search in parallel (the reference's 2-worker
+    * ThreadPoolExecutor — here two futures over the shared SparkSession;
+    * Spark schedules the two job DAGs concurrently). */
+  def search(idx: FtsIndex, emb: DataFrame, queryVec: Array[Float],
+             q: FtsQuery, kSemantic: Int = 10): HybridResults = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ftsF = Future(idx.searchCollected(q))
+    val semF = Future(semanticTopK(emb, queryVec, kSemantic))
+    HybridResults(Await.result(ftsF, Duration.Inf),
+      Await.result(semF, Duration.Inf))
+  }
+
+  /** Exact cosine top-k of a LITERAL query vector against the embeddings
+    * table: the vector broadcasts as a literal array column, similarity
+    * is codegen'd `aggregate`/`zip_with` math, and only k rows survive the
+    * TakeOrderedAndProject — the same shape as [[graft.ops.Ann]]'s
+    * contract queries. */
+  def semanticTopK(emb: DataFrame, queryVec: Array[Float],
+                   k: Int): Seq[SemanticHit] = {
+    import org.apache.spark.sql.functions._
+    val qLit = array(queryVec.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+    emb.select(col("vec_id"),
+        round(graft.ops.Ann.cosine(qLit, col("embedding")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => SemanticHit(r.getLong(0), r.getDouble(1)))
+      .toSeq
+  }
+}
