@@ -64,7 +64,23 @@ object Bench {
     // per-stage [timing] lines flow into the bench JSON (the artifact
     // itself shows where the scaling ratio is lost)
     pb.environment().put("GRAFT_BUILD_TIMING", "1")
+    // all measurement forks read the ONE pre-materialized input table
+    sharedInput.foreach(d => pb.environment().put("SPARK_GRAFT_BENCH_INPUT", d))
     pb.start()
+  }
+
+  /** Input parquet materialized once per bench process (untimed synthesis
+    * no longer repeats inside every fork — roughly 2-3 min off a 10-build
+    * session). */
+  @volatile private var sharedInput: Option[String] = None
+
+  private def prepareSharedInput(cpus: Int, sfDir: String, repl: Int): Unit = {
+    val dir = s"$scratch/shared_input.parquet"
+    val out = drain(forkWorker(0 until cpus, cpus,
+      Seq("prep", cpus.toString, sfDir, repl.toString, dir)))
+    if (out.contains("PREP dir=")) sharedInput = Some(dir)
+    else System.err.println(s"[bench] shared-input prep failed, " +
+      s"falling back to per-fork synthesis:\n$out")
   }
 
   /** Parse `[timing] <stage> <sec>s` lines from a worker's output into
@@ -190,6 +206,7 @@ object Bench {
     // correlated noise), alongside per-level median throughputs. 5
     // iterations by default so a single stolen pair cannot set the median.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    prepareSharedInput(math.min(cpus, 16), sfDir, repl)
     type Run = (Double, Double, Long, Map[String, Double])
     val runsN = scala.collection.mutable.ArrayBuffer[Run]()
     val runs4N = scala.collection.mutable.ArrayBuffer[Run]()

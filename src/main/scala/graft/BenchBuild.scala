@@ -9,10 +9,15 @@ import org.apache.spark.sql.SparkSession
   * physical node of a real cluster).
   *
   * Modes:
+  *   prep <cores> <sfDir> <repl> <outDir>           — materialize the input
   *   docs <cores> <sfDir> <repl> <root>             — shared docs stage
   *   shards <cores> <sfDir> <repl> <root> <lo> <hi> — build shards [lo,hi)
   *   finalize <cores> <sfDir> <repl> <root>         — dict/stats/commit
   *   full <cores> <sfDir> <repl> <root>             — everything
+  *
+  * SPARK_GRAFT_BENCH_INPUT names a pre-materialized shared input parquet
+  * (written once by `prep`) so the untimed synthesis doesn't repeat in
+  * every measurement fork.
   */
 object BenchBuild {
 
@@ -53,7 +58,23 @@ object BenchBuild {
     def cfg = graft.index.FtsIndexBuilder.Config(nShards = NShards,
       segmentPartitions = 32, shardGroups = 1)
 
+    /** The measured-build input table: a shared pre-materialized parquet
+      * when available, else synthesized (untimed) under `root`. */
+    def inputTable(root: String) = {
+      val shared = sys.env.get("SPARK_GRAFT_BENCH_INPUT")
+        .filter(d => new java.io.File(d, "_SUCCESS").exists())
+      val dir = shared.getOrElse {
+        val d = s"$root/input.parquet"
+        corpus(repl).write.mode("overwrite").parquet(d)
+        d
+      }
+      spark.read.parquet(dir)
+    }
+
     mode match {
+      case "prep" =>
+        corpus(repl).write.mode("overwrite").parquet(root)
+        println(s"PREP dir=$root")
       case "docs" =>
         // small untimed warmup of the write path
         val wroot = java.nio.file.Files
@@ -61,9 +82,7 @@ object BenchBuild {
         graft.index.FtsIndexBuilder.stageDocs(spark, corpus(1).limit(500),
           wroot, cfg)
         // untimed input materialization (see "full" mode)
-        val inputDir = s"$root/input.parquet"
-        corpus(repl).write.mode("overwrite").parquet(inputDir)
-        val input = spark.read.parquet(inputDir)
+        val input = inputTable(root)
         val t0 = System.nanoTime()
         val vDir = graft.index.FtsIndexBuilder
           .stageDocs(spark, input, root, cfg)
@@ -104,12 +123,10 @@ object BenchBuild {
         graft.index.FtsIndexBuilder.build(spark, corpus(1).limit(500), wroot,
           graft.index.FtsIndexBuilder.Config(nShards = 2,
             segmentPartitions = 4, shardGroups = 2))
-        // materialize the synthetic input UNTIMED: the metric is indexing
-        // throughput from an input table (BASELINE.json input_hint), not
-        // test-corpus synthesis
-        val inputDir = s"$root/input.parquet"
-        corpus(repl).write.mode("overwrite").parquet(inputDir)
-        val input = spark.read.parquet(inputDir)
+        // the input table is UNTIMED: the metric is indexing throughput
+        // from an input table (BASELINE.json input_hint), not test-corpus
+        // synthesis
+        val input = inputTable(root)
         val t0 = System.nanoTime()
         val report = graft.index.FtsIndexBuilder.build(spark, input, root, cfg)
         val sec = (System.nanoTime() - t0) / 1e9

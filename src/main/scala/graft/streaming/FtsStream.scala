@@ -18,8 +18,13 @@ import graft.index.{FtsDeltas, FtsIndexBuilder}
   */
 object FtsStream {
 
-  /** foreachBatch handler, also usable directly in tests. */
-  def applyBatch(root: String, cfg: FtsIndexBuilder.Config)
+  /** foreachBatch handler, also usable directly in tests. Every
+    * `foldEvery` accumulated delta generations the handler runs a tiered
+    * [[FtsDeltas.fold]] so long-running streams keep O(1) generations
+    * live (query-time unions stay flat; cost is delta-sized, never
+    * index-sized). */
+  def applyBatch(root: String, cfg: FtsIndexBuilder.Config,
+                 foldEvery: Int = 16)
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
@@ -32,16 +37,28 @@ object FtsStream {
       if (!upserts.isEmpty) FtsDeltas.upsert(spark, upserts, root, cfg)
       if (!deletes.isEmpty) FtsDeltas.delete(spark, deletes, root)
     } finally cached.unpersist()
+    if (foldEvery > 0 && liveGenerations(spark, root) >= foldEvery)
+      FtsDeltas.fold(spark, root, cfg)
+  }
+
+  private def liveGenerations(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Int = {
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val d = new org.apache.hadoop.fs.Path(s"$vDir/deltas")
+    if (!hfs.exists(d)) 0
+    else hfs.listStatus(d).count(_.getPath.getName.matches("d\\d+"))
   }
 
   /** Attach the sink to a streaming DataFrame. */
   def writer(stream: DataFrame, root: String,
              cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config(),
-             checkpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+             checkpointDir: Option[String] = None,
+             foldEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch(applyBatch(root, cfg) _)
+      .foreachBatch(applyBatch(root, cfg, foldEvery) _)
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
   }
 

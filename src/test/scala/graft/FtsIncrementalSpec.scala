@@ -88,6 +88,31 @@ class FtsIncrementalSpec extends AnyFunSuite {
     assert(a.map(r => (r.path, r.score)) === b.map(r => (r.path, r.score)))
   }
 
+  test("streaming sink auto-folds after foldEvery generations") {
+    val root = freshIndex(Fixtures.corpusA)
+    val s = spark
+    import s.implicits._
+    def batch(i: Int) = Seq(
+      ("test_repo", s"src/auto_$i.py", i.toString * 40, "python",
+        s"def auto_fn_$i(): return marker_$i")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    (1 to 3).foreach(i =>
+      graft.streaming.FtsStream.applyBatch(root, cfg, foldEvery = 2)(
+        batch(i), i.toLong))
+    // gens 1,2 folded into 3 after the second batch; batch 3 landed at 4,
+    // then folded with 3 into 5 after the third batch's check
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val gens = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$vDir/deltas"))
+      .map(_.getPath.getName).filter(_.matches("d\\d+")).toSeq
+    assert(gens.size <= 2, s"auto-fold must bound live generations: $gens")
+    val idx = new FtsIndex(spark, root)
+    (1 to 3).foreach { i =>
+      assert(idx.searchCollected(FtsQuery(s"marker_$i"))
+        .map(_.path) === Seq(s"src/auto_$i.py"))
+    }
+  }
+
   test("streaming microbatches apply as delta generations") {
     val root = freshIndex(Fixtures.corpusA)
     val s = spark
