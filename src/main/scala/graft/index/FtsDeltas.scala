@@ -47,18 +47,13 @@ object FtsDeltas {
       .reduceOption(_ max _).getOrElse(0) + 1
   }
 
-  /** Upsert a batch of (repo, path, commit, lang, content[, identifiers]
-    * [, line_start, line_end]) rows: tombstone each key, add the new docs
-    * at a fresh generation.
-    *
-    * Doc-id assignment mirrors stageDocs' shard scheme inside the delta's
-    * own namespace: sub-shard = xxhash64(repo, path) mod nShards, row
-    * numbers assigned per sub-shard (a bulk upsert parallelizes across
-    * nShards window partitions instead of funneling through one task), and
-    * doc_id = (1000+gen) << 40 | subshard << 28 | rank — deterministic
-    * under any parallelism, disjoint from base shards and other gens. */
   /** Delta doc-id assignment for one generation, mirroring stageDocs'
-    * shard scheme inside the delta's own namespace (see [[upsert]]). */
+    * shard scheme inside the delta's own namespace: sub-shard =
+    * xxhash64(repo, path) mod nShards, row numbers assigned per sub-shard
+    * (a bulk upsert parallelizes across nShards window partitions instead
+    * of funneling through one task), and doc_id = (1000+gen) << 40 |
+    * subshard << 28 | rank — deterministic under any parallelism,
+    * disjoint from base shards and other generations. */
   private def assignDeltaDocs(batch: DataFrame, gen: Int,
                               cfg: FtsIndexBuilder.Config): DataFrame = {
     val withIds =
@@ -139,7 +134,12 @@ object FtsDeltas {
         Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
       .mapPartitions(it =>
         FtsIndexBuilder.encodeRunPartition(it, cfg.blockSize))
-      .write.mode("overwrite").parquet(s"$dDir/segments")
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary#doc_bytes", "false")
+      .option("parquet.enable.dictionary#tf_bytes", "false")
+      .option("parquet.enable.dictionary#dl_bytes", "false")
+      .option("parquet.enable.dictionary#pos_bytes", "false")
+      .parquet(s"$dDir/segments")
     val cmaskU = udf((t: String) => graft.functions.Distance.charMask(t))
     spark.read.parquet(s"$dDir/segments")
       .groupBy("field", "term")

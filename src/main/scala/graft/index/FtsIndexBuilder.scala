@@ -227,7 +227,7 @@ object FtsIndexBuilder {
     * partition this removes the dominant small-allocation source of the
     * scan (the measured scaling-efficiency ceiling, BENCH/BASELINE.md §3). */
   private final class PostingAcc {
-    private var out: java.io.ByteArrayOutputStream = null
+    private var out: Codec.ByteBuf = null
     private var first = -1
     private var last = -1
     var n = 0L
@@ -235,7 +235,7 @@ object FtsIndexBuilder {
       if (n == 0L) first = pos
       else {
         if (out == null) {
-          out = new java.io.ByteArrayOutputStream(8)
+          out = new Codec.ByteBuf(8)
           Codec.writeVarLong(out, first.toLong)
         }
         Codec.writeVarLong(out, (pos - last).toLong)
@@ -482,10 +482,10 @@ object FtsIndexBuilder {
   private final class RunAcc(val firstDoc: Long) {
     var lastDoc: Long = -1L
     var n: Int = 0
-    val docOut = new java.io.ByteArrayOutputStream(16)
-    val tfOut = new java.io.ByteArrayOutputStream(8)
-    val dlOut = new java.io.ByteArrayOutputStream(8)
-    val posOut = new java.io.ByteArrayOutputStream(32)
+    val docOut = new Codec.ByteBuf(16)
+    val tfOut = new Codec.ByteBuf(8)
+    val dlOut = new Codec.ByteBuf(8)
+    val posOut = new Codec.ByteBuf(32)
     def add(doc: Long, dl: Long, tf: Long, pos: Array[Byte]): Unit = {
       if (n == 0) Codec.writeVarLong(docOut, doc)
       else Codec.writeVarLong(docOut, doc - lastDoc)
@@ -701,7 +701,15 @@ object FtsIndexBuilder {
       .sortWithinPartitions("shard", "field", "term", "bucket", "first_doc")
       .as[RunRow]
       .mapPartitions { it => encodeRunPartition(it, blockSize) }
-      .write.mode("overwrite").parquet(s"$vDir/segments/g$gid")
+      .write.mode("overwrite")
+      // posting blobs are unique — a dictionary-encode attempt hashes
+      // every blob before falling back (hot in the JFR profile); keep
+      // dictionaries for the repetitive term/field columns only
+      .option("parquet.enable.dictionary#doc_bytes", "false")
+      .option("parquet.enable.dictionary#tf_bytes", "false")
+      .option("parquet.enable.dictionary#dl_bytes", "false")
+      .option("parquet.enable.dictionary#pos_bytes", "false")
+      .parquet(s"$vDir/segments/g$gid")
     if (timing) println(f"[timing] g$gid%d segments ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
 
     // lineage/metrics derive from the durably written segments (columnar
@@ -756,7 +764,7 @@ object FtsIndexBuilder {
         val docIds = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
         val tfs = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
         val dls = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
-        val posOut = new java.io.ByteArrayOutputStream()
+        val posOut = new Codec.ByteBuf(64)
         var maxTf = 0L
         var minDl = Long.MaxValue
         var sumTf = 0L
