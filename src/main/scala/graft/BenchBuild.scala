@@ -59,10 +59,20 @@ object BenchBuild {
       segmentPartitions = 32, shardGroups = 1)
 
     /** The measured-build input table: a shared pre-materialized parquet
-      * when available, else synthesized (untimed) under `root`. */
+      * when it exists AND its stamp matches this run's (sfDir, repl) — a
+      * stale env var from an earlier exploratory run must never feed the
+      * wrong corpus into a measurement — else synthesized (untimed)
+      * under `root`. */
+    val inputStamp = s"$sfDir|$repl"
     def inputTable(root: String) = {
-      val shared = sys.env.get("SPARK_GRAFT_BENCH_INPUT")
-        .filter(d => new java.io.File(d, "_SUCCESS").exists())
+      val shared = sys.env.get("SPARK_GRAFT_BENCH_INPUT").filter { d =>
+        new java.io.File(d, "_SUCCESS").exists() && {
+          val st = new java.io.File(d, "_GRAFT_INPUT")
+          st.exists() &&
+            new String(java.nio.file.Files.readAllBytes(st.toPath),
+              "UTF-8") == inputStamp
+        }
+      }
       val dir = shared.getOrElse {
         val d = s"$root/input.parquet"
         corpus(repl).write.mode("overwrite").parquet(d)
@@ -74,6 +84,9 @@ object BenchBuild {
     mode match {
       case "prep" =>
         corpus(repl).write.mode("overwrite").parquet(root)
+        java.nio.file.Files.write(
+          new java.io.File(root, "_GRAFT_INPUT").toPath,
+          inputStamp.getBytes("UTF-8"))
         println(s"PREP dir=$root")
       case "docs" =>
         // small untimed warmup of the write path

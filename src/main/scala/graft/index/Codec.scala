@@ -1,7 +1,5 @@
 package graft.index
 
-import java.io.ByteArrayOutputStream
-
 /** Posting-list compression: delta-gap + variable-byte (varint) encoding,
   * the layout the north rule requires ("delta-gap + variable-byte
   * compressed segments"). Public-knowledge format (same family as Lucene /
@@ -39,17 +37,6 @@ object Codec {
 
   /** Unsigned LEB128 varint append (lock-free sink — the hot path). */
   def writeVarLong(out: ByteBuf, value: Long): Unit = {
-    var v = value
-    require(v >= 0, s"varint requires non-negative, got $value")
-    while ((v & ~0x7FL) != 0L) {
-      out.write(((v & 0x7F) | 0x80).toInt)
-      v >>>= 7
-    }
-    out.write(v.toInt)
-  }
-
-  /** Unsigned LEB128 varint append. */
-  def writeVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = value
     require(v >= 0, s"varint requires non-negative, got $value")
     while ((v & ~0x7FL) != 0L) {

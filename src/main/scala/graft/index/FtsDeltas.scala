@@ -38,6 +38,18 @@ object FtsDeltas {
   private def currentDir(spark: SparkSession, root: String): String =
     FtsIndexBuilder.currentVersionDir(spark, root)
 
+  /** Sorted live delta-generation numbers of an index root (the ONE
+    * owner of the d<N> naming scheme — nextGen/fold/the streaming sink
+    * all derive from it). */
+  def liveGenerations(spark: SparkSession, root: String): Seq[Int] = {
+    val vDir = currentDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, vDir)
+    val d = new Path(s"$vDir/deltas")
+    if (!hfs.exists(d)) Nil
+    else hfs.listStatus(d).map(_.getPath.getName)
+      .filter(_.matches("d\\d+")).map(_.drop(1).toInt).sorted.toSeq
+  }
+
   private def nextGen(spark: SparkSession, vDir: String): Int = {
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val d = new Path(s"$vDir/deltas")

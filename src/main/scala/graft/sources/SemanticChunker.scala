@@ -132,17 +132,22 @@ object SemanticChunker {
   }
 
   /** Spark-side operator: explode an ingest table into semantic-chunk
-    * granularity rows (same output shape as [[ChunkedIngest]] — feedable
-    * to [[graft.index.FtsIndexBuilder]] for a chunk-granularity index). */
+    * granularity rows — same output shape as [[ChunkedIngest]] including
+    * the reference's chunk-path identifier derivation (whitespace split of
+    * the chunk text, file_chunking_manager.py:660-684), feedable to
+    * [[graft.index.FtsIndexBuilder]] for a chunk-granularity index. */
   def explode(df: DataFrame, chunkSize: Int = 1000): DataFrame = {
     val chunksU = udf((content: String) =>
-      chunk(content, chunkSize).map(c => (c.text, c.line_start, c.line_end)))
+      chunk(content, chunkSize).map(c =>
+        (c.text, c.text.split("\\s+").filter(_.nonEmpty).toSeq,
+          c.line_start, c.line_end)))
     df.withColumn("c", org.apache.spark.sql.functions.explode(
         chunksU(col("content"))))
       .select(col("repo"), col("path"), col("commit"), col("lang"),
         col("c._1").as("content"),
-        col("c._2").cast("long").as("line_start"),
-        col("c._3").cast("long").as("line_end"))
+        col("c._2").as("identifiers"),
+        col("c._3").cast("long").as("line_start"),
+        col("c._4").cast("long").as("line_end"))
   }
 
   /** The ORACLED packing stage as a DataFrame (one row per raw chunk):

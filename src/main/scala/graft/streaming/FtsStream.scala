@@ -37,17 +37,9 @@ object FtsStream {
       if (!upserts.isEmpty) FtsDeltas.upsert(spark, upserts, root, cfg)
       if (!deletes.isEmpty) FtsDeltas.delete(spark, deletes, root)
     } finally cached.unpersist()
-    if (foldEvery > 0 && liveGenerations(spark, root) >= foldEvery)
+    if (foldEvery > 0 &&
+        FtsDeltas.liveGenerations(spark, root).size >= foldEvery)
       FtsDeltas.fold(spark, root, cfg)
-  }
-
-  private def liveGenerations(spark: org.apache.spark.sql.SparkSession,
-                              root: String): Int = {
-    val hfs = FtsIndexBuilder.fs(spark, root)
-    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
-    val d = new org.apache.hadoop.fs.Path(s"$vDir/deltas")
-    if (!hfs.exists(d)) 0
-    else hfs.listStatus(d).count(_.getPath.getName.matches("d\\d+"))
   }
 
   /** Attach the sink to a streaming DataFrame. */
@@ -64,6 +56,7 @@ object FtsStream {
 
   def start(stream: DataFrame, root: String,
             cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config(),
-            checkpointDir: Option[String] = None): StreamingQuery =
-    writer(stream, root, cfg, checkpointDir).start()
+            checkpointDir: Option[String] = None,
+            foldEvery: Int = 16): StreamingQuery =
+    writer(stream, root, cfg, checkpointDir, foldEvery).start()
 }

@@ -215,7 +215,7 @@ class FtsRound2Spec extends AnyFunSuite {
       .toSet
     // reference: per-token Tokenizer pipeline (the round-1 semantics)
     def varints(ps: Seq[Int]): Seq[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
+      val out = new graft.index.Codec.ByteBuf()
       ps.zip(0 +: ps.dropRight(1)).zipWithIndex.foreach { case ((p, prev), i) =>
         graft.index.Codec.writeVarLong(out,
           if (i == 0) p.toLong else (p - prev).toLong)
