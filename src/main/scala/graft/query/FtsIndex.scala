@@ -621,14 +621,21 @@ class FtsIndex(spark: SparkSession, root: String) {
     if (top.isEmpty) return Nil
     val scores = top.map(s => s.doc -> s.score).toMap
     val ids = top.map(_.doc)
+    // chunk-granularity docs carry a line_start offset — report
+    // file-absolute lines exactly like search()
+    val chunked = effectiveDocs.columns.contains("line_start")
+    val lsCol =
+      if (chunked) coalesce($"line_start", lit(1)).cast("int") else lit(1)
     val meta = effectiveDocs
       .where($"doc_id".isin(ids.toIndexedSeq: _*))
-      .select($"doc_id", $"repo", $"path", $"lang", $"content").collect()
+      .select($"doc_id", $"repo", $"path", $"lang", $"content",
+        lsCol.as("ls")).collect()
     val text = q.text
     meta.toSeq.flatMap { r =>
       val id = r.getLong(0)
       scores.get(id).map { sc =>
         val content = r.getString(4)
+        val ls = r.getInt(5)
         // same extraction as search(): regex patterns must not be searched
         // as literal text (regex rides WAND after expansion now)
         val m =
@@ -643,11 +650,12 @@ class FtsIndex(spark: SparkSession, root: String) {
         m match {
           case Some(mm) =>
             val e = Snippets.extractSnippet(content, mm.start, snippetLines)
-            SearchResult(id, r.getString(1), r.getString(2), e.line, e.column,
-              mm.text, e.snippet, e.snippetStartLine, r.getString(3), sc)
+            SearchResult(id, r.getString(1), r.getString(2), e.line + ls - 1,
+              e.column, mm.text, e.snippet, e.snippetStartLine + ls - 1,
+              r.getString(3), sc)
           case None =>
-            SearchResult(id, r.getString(1), r.getString(2), 1, 1, text, "",
-              1, r.getString(3), sc)
+            SearchResult(id, r.getString(1), r.getString(2), ls, 1, text, "",
+              ls, r.getString(3), sc)
         }
       }
     }.sortBy(r => (-r.score, r.doc_id))

@@ -68,8 +68,9 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** LRU fuzzy/regex alternative -> expanded term list. */
   private val expansions = lru[FieldQ, Seq[TermQ]](256)
 
-  /** LRU doc_id -> (repo, path, lang) — the filter columns. */
-  private val metaRows = lru[Long, (String, String, String)](maxDocs * 4)
+  /** LRU doc_id -> (repo, path, lang, line_start) — the filter columns
+    * plus the chunk line offset (1 for whole-file docs). */
+  private val metaRows = lru[Long, (String, String, String, Int)](maxDocs * 4)
 
   /** LRU doc_id -> content — fetched only for FINAL top-k rows. */
   private val contentRows = lru[Long, String](maxDocs)
@@ -116,14 +117,20 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   }
 
   private def metaFor(ids: Seq[Long])
-      : Map[Long, (String, String, String)] = synchronized {
+      : Map[Long, (String, String, String, Int)] = synchronized {
     val hits = ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
     val missing = ids.filterNot(hits.contains)
     if (missing.isEmpty) return hits
-    val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
-      .select("doc_id", "repo", "path", "lang").collect()
+    val docs = idx.effectiveDocs
+    val lsCol =
+      if (docs.columns.contains("line_start"))
+        coalesce(col("line_start"), lit(1)).cast("int")
+      else lit(1)
+    val got = docs.where(col("doc_id").isin(missing: _*))
+      .select(col("doc_id"), col("repo"), col("path"), col("lang"),
+        lsCol.as("ls")).collect()
       .map(r => r.getLong(0) ->
-        (r.getString(1), r.getString(2), r.getString(3))).toMap
+        (r.getString(1), r.getString(2), r.getString(3), r.getInt(4))).toMap
     got.foreach { case (id, row) => metaRows.put(id, row) }
     hits ++ got
   }
@@ -239,7 +246,7 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
           val (cands, exhausted) = pullTopK(kk)
           val meta = metaFor(cands.map(_.doc))
           val kept = cands.filter { s =>
-            meta.get(s.doc).exists { case (_, path, lang) =>
+            meta.get(s.doc).exists { case (_, path, lang, _) =>
               passesFilters(q, lang, pathMatch, pathExcl, path)
             }
           }
@@ -254,7 +261,7 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     val meta = metaFor(top.map(_.doc))
     val content = contentFor(top.map(_.doc))
     top.flatMap { s =>
-      meta.get(s.doc).map { case (repo, path, lang) =>
+      meta.get(s.doc).map { case (repo, path, lang, ls) =>
         val c = content.getOrElse(s.doc, "")
         val m =
           if (q.useRegex) {
@@ -266,11 +273,13 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
           } else Snippets.findMatch(c, q.text, q.caseSensitive, q.editDistance)
         m match {
           case Some(mm) =>
+            // chunk docs report FILE-absolute lines, like search()
             val e = Snippets.extractSnippet(c, mm.start, snippetLines)
-            SearchResult(s.doc, repo, path, e.line, e.column, mm.text,
-              e.snippet, e.snippetStartLine, lang, s.score)
+            SearchResult(s.doc, repo, path, e.line + ls - 1, e.column,
+              mm.text, e.snippet, e.snippetStartLine + ls - 1, lang, s.score)
           case None =>
-            SearchResult(s.doc, repo, path, 1, 1, q.text, "", 1, lang, s.score)
+            SearchResult(s.doc, repo, path, ls, 1, q.text, "", ls, lang,
+              s.score)
         }
       }
     }.sortBy(r => (-r.score, r.doc_id))

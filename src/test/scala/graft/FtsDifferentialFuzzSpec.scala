@@ -86,4 +86,34 @@ class FtsDifferentialFuzzSpec extends AnyFunSuite {
     // the battery must actually exercise matching queries
     assert(nonEmpty >= 10, s"only $nonEmpty of ${queries.size} queries matched")
   }
+
+  test("chunk-granularity corpus with line-range filters: three-way parity " +
+       "(WAND/cached fall back to the cluster path and stay identical)") {
+    val docs = (0 until 12).map { i =>
+      val lines = (1 to 20 + rng.nextInt(30)).map(_ =>
+        Seq.fill(4)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      Fixtures.Doc("fuzz_repo", s"src/c_$i.py", i.toString * 40, "py",
+        lines.mkString("\n"), Nil)
+    }
+    val chunked = graft.sources.ChunkedIngest.explode(
+      TestSpark.docsDf(docs).drop("identifiers"), chunkSize = 250)
+    val root = TestSpark.tempDir("fuzzchunk")
+    FtsIndexBuilder.build(spark, chunked, root, cfg)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new graft.query.FtsQueryCache(idx)
+    var nonEmpty = 0
+    (0 until 15).foreach { _ =>
+      val w = vocab(rng.nextInt(vocab.size))
+      val q = FtsQuery(w, limit = Seq(0, 5)(rng.nextInt(2)),
+        minLine = if (rng.nextBoolean()) Some(5L + rng.nextInt(20)) else None,
+        maxLine = if (rng.nextBoolean()) Some(10L + rng.nextInt(30)) else None)
+      val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score, r.line))
+      val wand = idx.searchWand(q).map(r => (r.doc_id, r.score, r.line))
+      val cached = cache.search(q).map(r => (r.doc_id, r.score, r.line))
+      if (ex.nonEmpty) nonEmpty += 1
+      assert(wand === ex, s"WAND parity for $q")
+      assert(cached === ex, s"cached parity for $q")
+    }
+    assert(nonEmpty >= 5)
+  }
 }
