@@ -85,9 +85,14 @@ object PathGlob {
   def toRegex(glob: String): String = {
     val trimmed = glob.trim
     if (trimmed.isEmpty) return "(?!)" // matches nothing
-    val p = trimmed.stripSuffix("/")
+    val noDir = trimmed.stripSuffix("/")
+    // gitwildmatch: a leading '/' anchors the pattern at the path root
+    // (gitignore "/dist" matches only the top-level dist)
+    val rooted = noDir.startsWith("/")
+    val p = if (rooted) noDir.drop(1) else noDir
+    if (p.isEmpty) return "(?!)"
     val segs = p.split("/", -1).toList
-    val anchored = segs.length > 1
+    val anchored = rooted || segs.length > 1
     val sb = new StringBuilder
     sb.append(if (anchored) "^" else "^(?:[^/]+/)*")
 
@@ -136,5 +141,18 @@ object PathGlob {
       catch { case _: Exception => None }
     }
     path => compiled.exists(_.matcher(path).matches())
+  }
+
+  /** The same OR-of-globs as [[anyMatcher]], as ONE `|`-joined regex for a
+    * codegen'd `rlike` predicate (each branch is ^...$-anchored, so
+    * rlike's find() semantics equal full match). None when no pattern is
+    * valid — matches nothing, like anyMatcher on the same input. */
+  def anyRegex(patterns: Seq[String]): Option[String] = {
+    val valid = patterns.flatMap { p =>
+      val r = toRegex(p)
+      try { java.util.regex.Pattern.compile(r); Some(r) }
+      catch { case _: Exception => None }
+    }
+    if (valid.isEmpty) None else Some(valid.map(r => s"(?:$r)").mkString("|"))
   }
 }

@@ -96,30 +96,71 @@ object FtsDeltas {
         .map(col): _*)
   }
 
+  /** Driver-side parquet row count from file footers — zero Spark jobs
+    * (the 2^28 guard must not recompute the batch lineage every streaming
+    * microbatch, ADVICE r03 #5). */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val hfs = FtsIndexBuilder.fs(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    hfs.listStatus(new Path(dir)).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Atomic publish of a fully-staged generation dir: FileContext.rename
+    * with Rename.NONE FAILS when the destination exists — unlike
+    * FileSystem.rename, which silently moves the source INSIDE an existing
+    * destination directory and returns true (ADVICE r03 #1: under a
+    * concurrent writer that "success" would nest the staged dir invisibly
+    * and the caller would then delete live generations). */
+  private[graft] def publishGen(spark: SparkSession, tmpDir: String,
+                                dstDir: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(tmpDir).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(new Path(tmpDir)),
+      fc.makeQualified(new Path(dstDir)),
+      org.apache.hadoop.fs.Options.Rename.NONE)
+  }
+
   def upsert(spark: SparkSession, batch: DataFrame, root: String,
              cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
     require(cfg.nShards <= 4096,
       s"delta doc-id namespace fits 4096 sub-shards, got ${cfg.nShards}")
     val vDir = currentDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, vDir)
     val gen = nextGen(spark, vDir)
-    val dDir = s"$vDir/deltas/d$gen"
+    // stage the WHOLE generation under a name deltaDirs ignores, publish
+    // with one atomic rename: readers never see a torn half-generation
+    val tmpDir = s"$vDir/deltas/up.tmp.$gen"
+    hfs.delete(new Path(tmpDir), true)
+    try {
+      assignDeltaDocs(batch, gen, cfg)
+        .write.mode("overwrite").parquet(s"$tmpDir/docs")
 
-    // rank overflow guard: doc_id packs row_number into 28 bits per
-    // sub-shard. A batch smaller than 2^28 rows can't overflow ANY
-    // sub-shard's rank space (ADVICE r02 #4). Checked BEFORE anything is
-    // written — failing after the docs write would leave a torn,
-    // reader-visible half-generation (postings-less docs, no tombstones).
-    require(batch.count() < (1L << 28),
-      "delta upsert batch exceeds the 2^28-docs-per-generation id space; " +
-        "split the batch or run a full rebuild")
-    assignDeltaDocs(batch, gen, cfg)
-      .write.mode("overwrite").parquet(s"$dDir/docs")
+      // rank overflow guard: doc_id packs row_number into 28 bits per
+      // sub-shard; a batch under 2^28 rows can't overflow ANY sub-shard's
+      // rank space (ADVICE r02 #4). Validated from the WRITTEN parquet
+      // footers — no extra Spark action, no lineage recompute — and the
+      // staged dir is still invisible to readers if it fails.
+      require(parquetRowCount(spark, s"$tmpDir/docs") < (1L << 28),
+        "delta upsert batch exceeds the 2^28-docs-per-generation id space; " +
+          "split the batch or run a full rebuild")
 
-    val written = spark.read.parquet(s"$dDir/docs")
-    writeDeltaSegments(spark, written, dDir, gen, cfg)
-
-    written.select(col("repo"), col("path"), lit(gen).as("gen"))
-      .write.mode("overwrite").parquet(s"$dDir/tombstones")
+      val written = spark.read.parquet(s"$tmpDir/docs")
+      writeDeltaSegments(spark, written, tmpDir, gen, cfg)
+      written.select(col("repo"), col("path"), lit(gen).as("gen"))
+        .write.mode("overwrite").parquet(s"$tmpDir/tombstones")
+      publishGen(spark, tmpDir, s"$vDir/deltas/d$gen")
+    } catch {
+      case e: Throwable =>
+        hfs.delete(new Path(tmpDir), true) // doc_ids are baked to this gen
+        throw e
+    }
     gen
   }
 
@@ -174,11 +215,17 @@ object FtsDeltas {
     *
     * Swap is near-atomic: the folded generation is fully written under a
     * temp name invisible to readers, renamed into place, and only then are
-    * the old generations deleted. A reader overlapping the window sees old
-    * AND folded generations together: membership stays exactly correct
-    * (the folded tombstones kill every old-generation doc), only df/N
-    * drift briefly — within the documented eventual-consistency contract
-    * (tantivy_index_manager.py:25-33).
+    * the old generations deleted. A reader opening a NEW snapshot in the
+    * window sees old AND folded generations together: membership stays
+    * exactly correct (the folded tombstones kill every old-generation
+    * doc), only df/N drift briefly — within the documented
+    * eventual-consistency contract (tantivy_index_manager.py:25-33).
+    * A snapshot PINNED from before the fold ([[graft.query.FtsIndex]]
+    * resolves its delta dirs at construction) references the deleted
+    * generation paths and will fail its next cold scan — pair pinned
+    * snapshots with [[graft.query.ReloadingFtsIndex]] (its fingerprint
+    * check swaps to the folded state before any stale path is read), or
+    * drain in-flight readers before folding.
     *
     * Returns the folded generation number, or None when there is nothing
     * to fold (fewer than 2 generations). */
@@ -229,13 +276,17 @@ object FtsDeltas {
       .withColumn("gen", lit(gNew))
       .write.mode("overwrite").parquet(s"$tmpDir/tombstones")
 
-    // publish, then retire the folded-away generations. Hadoop rename
-    // reports failure by RETURNING FALSE (e.g. a concurrent upsert claimed
-    // d<gNew>) — deleting the sources after a failed publish would lose
-    // every delta since the last compact
-    require(hfs.rename(new Path(tmpDir), new Path(s"$vDir/deltas/d$gNew")),
-      s"fold publish failed: could not rename $tmpDir to d$gNew " +
-        "(concurrent writer?); no generation was deleted")
+    // publish, then retire the folded-away generations. Rename.NONE
+    // THROWS when a concurrent upsert already claimed d<gNew> —
+    // FileSystem.rename would instead move the staged dir INSIDE the
+    // existing destination and report success, and the deletes below
+    // would then lose every delta since the last compact (ADVICE r03 #1)
+    publishGen(spark, tmpDir, s"$vDir/deltas/d$gNew")
+    // belt-and-braces: the published generation must be top-level complete
+    // before anything is deleted
+    require(hfs.exists(new Path(s"$vDir/deltas/d$gNew/tombstones")),
+      s"fold publish left d$gNew without top-level tombstones; " +
+        "no generation was deleted")
     gens.foreach(g => hfs.delete(new Path(s"$vDir/deltas/d$g"), true))
     Some(gNew)
   }

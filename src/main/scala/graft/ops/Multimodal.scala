@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions._
   * fixed-size batches (the JVM analog of `mapInPandas` batch processing).
   *
   * Codec status (this container has no native image/audio/video libs, so
-  * everything here is pure-JDK):
-  *   - image: REAL codec — blobs are real PNGs; decode via `javax.imageio`
+  * everything here is pure-JDK — and all three modalities are REAL codecs):
+  *   - image: blobs are real PNGs; decode via `javax.imageio`
   *     (`ImageIO.read`), features are decoded-pixel statistics, resize is a
   *     real `Graphics2D` rescale + PNG re-encode.
-  *   - audio: REAL codec — blobs are real RIFF/WAVE PCM16 files; the
-  *     header is parsed and features (RMS/zero-crossings per window) are
-  *     computed from decoded samples.
-  *   - video: STUB — there is no pure-JDK video demuxer; `sampleFrames`
-  *     and video features remain clearly-marked deterministic stubs with
-  *     the real batch/schema plumbing around them.
+  *   - audio: blobs are real RIFF/WAVE PCM16 files; the header is parsed
+  *     and features (RMS/zero-crossings per window) are computed from
+  *     decoded samples.
+  *   - video: blobs are real YUV4MPEG2 (Y4M) streams — a plain-text
+  *     header + raw C420 frames, the uncompressed interchange format of
+  *     the ffmpeg/mjpegtools toolchain. [[parseY4m]] is a real demuxer
+  *     (header params, FRAME markers, plane extraction); features are
+  *     per-frame mean luminance from the decoded Y planes and
+  *     [[sampleFrames]] returns actual demuxed frames at the requested
+  *     interval.
   */
 object Multimodal {
 
@@ -89,10 +93,71 @@ object Multimodal {
     bb.array()
   }
 
+  /** Synthesize a real YUV4MPEG2 stream: the standard plain-text header,
+    * then `frames` raw C420 frames (Y w*h + U,V quarter planes), bytes
+    * from the deterministic xorshift stream. */
+  private[graft] def synthY4m(seed0: Long, w: Int, h: Int, frames: Int,
+                              fps: Int): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val planeLen = w * h + 2 * ((w / 2) * (h / 2))
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames * (frameHdr.length + planeLen))
+    out.put(header)
+    var s = seed0
+    var f = 0
+    while (f < frames) {
+      out.put(frameHdr)
+      var i = 0
+      while (i < planeLen) { s = xorshift(s); out.put((s & 0xFF).toByte); i += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL Y4M demuxer: parse the header (W/H/F params), walk the FRAME
+    * markers, slice out each frame's raw C420 planes.
+    * Returns (width, height, fpsNum, fpsDen, frames). */
+  private[graft] def parseY4m(bytes: Array[Byte])
+      : (Int, Int, Int, Int, IndexedSeq[Array[Byte]]) = {
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    require(nl > 9 && nl < bytes.length, "not a Y4M stream")
+    val parts = new String(bytes, 0, nl, "US-ASCII").split(" ")
+    require(parts(0) == "YUV4MPEG2", "not a Y4M stream")
+    var w = 0; var h = 0; var fn = 25; var fd = 1
+    parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.drop(1).toInt
+        case 'H' => h = p.drop(1).toInt
+        case 'F' =>
+          val a = p.drop(1).split(":"); fn = a(0).toInt; fd = a(1).toInt
+        case _ => // interlacing / aspect / colorspace params: not needed
+      }
+    }
+    require(w > 0 && h > 0, "Y4M header missing dimensions")
+    val planeLen = w * h + 2 * ((w / 2) * (h / 2))
+    val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      var e = pos
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      require(e + 1 + planeLen <= bytes.length + 0 &&
+        new String(bytes, pos, math.min(5, e - pos), "US-ASCII") == "FRAME",
+        "bad FRAME marker")
+      pos = e + 1
+      require(pos + planeLen <= bytes.length, "truncated Y4M frame")
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + planeLen)
+      pos += planeLen
+    }
+    (w, h, fn, fd, frames.result())
+  }
+
   /** Deterministic synthetic media table derived from the documents table
     * (no external data): image blobs are real PNGs, audio blobs are real
-    * WAV files, video blobs are opaque (stub container), all seeded by
-    * sha256(doc text). */
+    * WAV files, video blobs are real Y4M streams (6 frames of 32x32 C420
+    * at 25 fps), all seeded by sha256(doc text). */
   def syntheticMedia(spark: SparkSession, sfDir: String,
                      limit: Int = 64): Dataset[MediaRow] = {
     import spark.implicits._
@@ -112,11 +177,9 @@ object Multimodal {
             MediaRow(id, kind, synthWav(seed0, 16000, 250L),
               MediaMeta(0, 0, 16000, 250L))
           case _ =>
-            // STUB container: repeated digest bytes (no pure-JDK video)
-            val digest = java.security.MessageDigest.getInstance("SHA-256")
-              .digest(text.getBytes("UTF-8"))
-            val bytes = Array.tabulate[Byte](16384)(i => digest(i % digest.length))
-            MediaRow(id, kind, bytes, MediaMeta(64, 64, 0, 4000L))
+            // 6 frames at 25 fps = 240 ms
+            MediaRow(id, kind, synthY4m(seed0, 32, 32, 6, 25),
+              MediaMeta(32, 32, 0, 240L))
         }
       }
   }
@@ -214,27 +277,32 @@ object Multimodal {
     out
   }
 
-  /** STUB KERNEL (video only): hash-seeded floats, deterministic in the
-    * blob bytes — no pure-JDK video decoder exists. */
-  private def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** REAL video kernel: demux the Y4M stream, compute width/height/frame
+    * count and per-frame mean luminance from the decoded Y planes —
+    * integer accumulation (exact) with one double division per frame, so
+    * the feature is bit-identical to the DuckDB oracle's computation. */
+  private[graft] def decodeY4mFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val (w, h, _, _, frames) = parseY4m(bytes)
     val out = new Array[Float](dim)
-    var h = 1125899906842597L // FNV-ish rolling over the blob
-    var i = 0
-    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = xorshift(h)
-      // double division then one float cast — oracle-reproducible
-      out(j) = ((h % 1000003L).toDouble / 1000003.0).toFloat
-      j += 1
+    out(0) = w.toFloat
+    out(1) = h.toFloat
+    if (dim > 2) out(2) = frames.length.toFloat
+    val ySize = w * h
+    var f = 0
+    while (f < frames.length && 3 + f < dim) {
+      val fb = frames(f)
+      var sum = 0L
+      var i = 0
+      while (i < ySize) { sum += (fb(i) & 0xFF); i += 1 }
+      out(3 + f) = (sum.toDouble / ySize).toFloat
+      f += 1
     }
     out
   }
 
   /** Feature extraction over binary columns: batched per partition (batch
     * arrays amortize per-row overhead exactly like Arrow batches would).
-    * Dispatches to the REAL image/audio codecs; video falls back to the
-    * documented stub. */
+    * All three kernels are REAL decoders. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 32,
                       batchSize: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
@@ -246,7 +314,7 @@ object Multimodal {
           val f = m.kind match {
             case "image" => decodeImageFeatures(m.bytes, dim)
             case "audio" => decodeWavFeatures(m.bytes, dim)
-            case _ => fakeDecodeFeatures(m.bytes, dim)
+            case _ => decodeY4mFeatures(m.bytes, dim)
           }
           Feature(m.media_id, m.kind, dim, f)
         }
@@ -275,19 +343,18 @@ object Multimodal {
     }
   }
 
-  /** STUB KERNEL: sample frames from a video blob at a fixed interval;
-    * real impl = container demux + keyframe decode. */
+  /** REAL frame sampling: demux the Y4M stream and keep every frame
+    * nearest the requested interval (frame timestamps from the container's
+    * own F num:den rate). Always yields at least frame 0. */
   def sampleFrames(media: Dataset[MediaRow],
                    everyMs: Long = 1000L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
-      val chunk = math.max(1, m.bytes.length / n)
-      (0 until n).map { i =>
-        val start = i * chunk
-        val end = math.min(m.bytes.length, start + chunk)
-        Frame(m.media_id, i, i * everyMs,
-          java.util.Arrays.copyOfRange(m.bytes, start, end))
+      val (_, _, fn, fd, frames) = parseY4m(m.bytes)
+      val periodMs = 1000.0 * fd / fn
+      val step = math.max(1, math.round(everyMs / periodMs).toInt)
+      frames.indices.by(step).map { i =>
+        Frame(m.media_id, i, math.round(i * periodMs), frames(i))
       }
     }
   }

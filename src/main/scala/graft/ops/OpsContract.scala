@@ -42,8 +42,8 @@ object OpsQueries {
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(emb(s, d), 5, 5)),
     // multimodal feature extraction, one row per (media, feature index),
     // split per kind so each decode kernel gets its own hard DuckDB oracle
-    // (image: real PNG decode; audio: real RIFF/WAVE parse; video: the
-    // documented stub kernel — all three deterministic integer math whose
+    // (image: real PNG decode; audio: real RIFF/WAVE parse; video: real
+    // YUV4MPEG2 demux — all three deterministic integer math whose
     // float32 outputs the oracle reproduces bit-exactly)
     "mm_image_features" -> ((s, d) => mmKind(s, d, "image")),
     "mm_audio_features" -> ((s, d) => mmKind(s, d, "audio")),
@@ -173,8 +173,6 @@ object OpsOracle {
   private val seedExpr =
     "CAST('0x' || substring(sha256(text), 1, 16) AS UBIGINT)"
 
-  private val mod64 = java.math.BigInteger.ONE.shiftLeft(64).toString
-
   private val mmImageSql: String =
     s"""WITH RECURSIVE media AS (
        |  SELECT doc_id AS media_id, $seedExpr AS seed FROM documents
@@ -265,42 +263,37 @@ object OpsOracle {
        |)
        |SELECT media_id, CAST(fidx AS INTEGER) AS fidx, val FROM feats""".stripMargin
 
+  /** Twin of the REAL Y4M kernel: replay the xorshift byte stream that
+    * fills 6 frames of 32x32 C420 (1536 plane bytes per frame, of which
+    * the first 1024 are the Y plane), sum each frame's unsigned Y bytes
+    * exactly, one double division + float32 cast per frame. */
   private val mmVideoSql: String =
     s"""WITH RECURSIVE media AS (
-       |  SELECT doc_id AS media_id, sha256(text) AS hex FROM documents
+       |  SELECT doc_id AS media_id, $seedExpr AS seed FROM documents
        |  WHERE doc_id < 32 AND doc_id % 3 = 2
        |),
-       |bytes AS (
-       |  SELECT media_id, CAST(j AS INTEGER) AS j,
-       |    CASE WHEN b0 >= 128 THEN b0 - 256 ELSE b0 END AS b
-       |  FROM (
-       |    SELECT media_id, unnest(range(0, 32)) AS j,
-       |      CAST('0x' || substring(hex, CAST(1 + 2 * unnest(range(0, 32)) AS INTEGER), 2)
-       |           AS INTEGER) AS b0
-       |    FROM media
-       |  )
-       |),
-       |fnv AS (
-       |  SELECT media_id, 0 AS i, ${ub(1125899906842597L)} AS h FROM media
+       |st AS (
+       |  SELECT media_id, 0 AS i, seed AS s FROM media
        |  UNION ALL
-       |  SELECT f.media_id, f.i + 1,
-       |    CAST(((CAST(h AS HUGEINT) * 31 + b + $mod64) % $mod64) AS UBIGINT)
-       |  FROM fnv f JOIN bytes bb ON bb.media_id = f.media_id
-       |    AND bb.j = CAST(f.i % 32 AS INTEGER)
-       |  WHERE f.i < 16384
+       |  SELECT media_id, i + 1, $xsExpr FROM st WHERE i < 9216
        |),
-       |xs AS (
-       |  SELECT media_id, 0 AS j, h AS s FROM fnv WHERE i = 16384
-       |  UNION ALL
-       |  SELECT media_id, j + 1, $xsExpr FROM xs WHERE j < 32
+       |luma AS (
+       |  SELECT media_id, CAST((i - 1) // 1536 AS INTEGER) AS f,
+       |         CAST(s % 256 AS BIGINT) AS y
+       |  FROM st WHERE i >= 1 AND ((i - 1) % 1536) < 1024
+       |),
+       |fr AS (
+       |  SELECT media_id, f, sum(y) AS sy FROM luma GROUP BY 1, 2
        |),
        |feats AS (
-       |  SELECT media_id, j - 1 AS fidx,
-       |    CAST(CAST(CAST(
-       |      (CASE WHEN s >= ${ub("9223372036854775808")}
-       |        THEN CAST(s AS HUGEINT) - $mod64 ELSE CAST(s AS HUGEINT) END) % 1000003
-       |      AS DOUBLE) / 1000003.0 AS FLOAT) AS DOUBLE) AS val
-       |  FROM xs WHERE j >= 1
+       |  SELECT media_id, 0 AS fidx, CAST(32.0 AS DOUBLE) AS val FROM media
+       |  UNION ALL SELECT media_id, 1, 32.0 FROM media
+       |  UNION ALL SELECT media_id, 2, 6.0 FROM media
+       |  UNION ALL SELECT media_id, 3 + f,
+       |    CAST(CAST(CAST(sy AS DOUBLE) / 1024.0 AS FLOAT) AS DOUBLE)
+       |    FROM fr
+       |  UNION ALL SELECT media_id, CAST(unnest(range(9, 32)) AS INTEGER),
+       |    CAST(0.0 AS DOUBLE) FROM media
        |)
        |SELECT media_id, CAST(fidx AS INTEGER) AS fidx, val FROM feats""".stripMargin
 

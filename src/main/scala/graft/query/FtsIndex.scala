@@ -185,9 +185,34 @@ class FtsIndex(spark: SparkSession, root: String) {
   /** Per-field average document length (BM25 denominator input). */
   def avgdl(field: String): Double = avgdlByField(field)
 
-  /** Whether incremental delta generations exist (WAND-style per-shard
-    * top-k must not run over dead docs — callers fall back). */
+  /** Whether incremental delta generations exist. */
   def hasDeltas: Boolean = deltaDirs.nonEmpty
+
+  /** Cap on the dead-doc id set collected to the driver (2^22 ids =
+    * 32 MB); beyond it callers use the exhaustive path, whose
+    * alive-semi-join handles any size. */
+  private val maxDeadDocs = 1 << 22
+
+  /** Sorted doc_ids whose postings survive in the segments but which a
+    * newer tombstone has killed — the alive filter that lets block-max
+    * WAND and the driver cache keep serving DURING watch mode (the
+    * reference daemon serves from its warm index throughout,
+    * daemon/cache.py:82-383). Delta-bounded: one id per superseded
+    * document, and the streaming auto-fold keeps live generations O(1).
+    * None when the set exceeds `maxDeadDocs`. Computed once per snapshot:
+    * one column-pruned scan of (doc_id, repo, path, gen) against the
+    * broadcast tombstone key set — never the content column. */
+  lazy val deadDocs: Option[Array[Long]] = tombstones match {
+    case None => Some(Array.emptyLongArray)
+    case Some(t) =>
+      val tmax = t.groupBy("repo", "path").agg(max("gen").as("tgen"))
+      val ids = docs.join(broadcast(tmax), Seq("repo", "path"))
+        .where(col("gen") < col("tgen"))
+        .select("doc_id").limit(maxDeadDocs + 1)
+        .collect().map(_.getLong(0))
+      if (ids.length > maxDeadDocs) None
+      else { java.util.Arrays.sort(ids); Some(ids) }
+  }
 
   /** Cache the index relations across queries (the reference daemon's warm
     * index cache analog, server/cache/fts_index_cache.py). */
@@ -309,7 +334,7 @@ class FtsIndex(spark: SparkSession, root: String) {
         col("field") === f && col("term").rlike(s"^(?:$pat)$$")
       case _ => lit(false)
     }
-    val rows = dict.where(preds.reduce(_ || _))
+    val rows = dict.where(FtsIndex.orAll(preds))
       .select("field", "term").collect()
       .map(r => (r.getString(0), r.getString(1)))
     dyn.map { a =>
@@ -497,16 +522,18 @@ class FtsIndex(spark: SparkSession, root: String) {
         } else if (q.languages.nonEmpty) {
           hits = hits.where($"lang".isin(q.languages: _*))
         }
-        if (q.excludePathFilters.nonEmpty) {
-          val m = PathGlob.anyMatcher(q.excludePathFilters)
-          val mu = udf((p: String) => m(p))
-          hits = hits.where(!mu($"path"))
-        }
-        if (q.pathFilters.nonEmpty) {
-          val m = PathGlob.anyMatcher(q.pathFilters)
-          val mu = udf((p: String) => m(p))
-          hits = hits.where(mu($"path"))
-        }
+        // globs compile driver-side to ONE |-joined anchored regex and run
+        // as a codegen'd rlike — no ScalaUDF on the scored-match relation
+        // (this filter runs BEFORE top-k, over the whole match set)
+        if (q.excludePathFilters.nonEmpty)
+          PathGlob.anyRegex(q.excludePathFilters).foreach { re =>
+            hits = hits.where(!$"path".rlike(re))
+          }
+        if (q.pathFilters.nonEmpty)
+          hits = PathGlob.anyRegex(q.pathFilters) match {
+            case Some(re) => hits.where($"path".rlike(re))
+            case None => hits.where(lit(false)) // no valid glob matches nothing
+          }
         // line-range overlap: a whole-file doc (no chunk columns) spans
         // [1, +inf) — minLine always overlaps, maxLine only if >= 1
         q.minLine.foreach { m =>
@@ -572,14 +599,17 @@ class FtsIndex(spark: SparkSession, root: String) {
 
   /** Top-k via the block-max WAND scorer ([[Wand]]): per-shard pruned
     * scoring in parallel (`flatMapGroups` over the shard key — shards have
-    * disjoint doc spaces), then a driver-side merge of the tiny per-shard
-    * top-k lists. Falls back to [[search]] for phrase/fuzzy/regex nodes,
-    * when filters are present (a θ-threshold over the unfiltered stream
-    * would not be the filtered top-k), or when delta generations exist
-    * (dead docs would occupy heap slots and raise θ before the tombstone
-    * filter — per-shard top-k must see only alive docs). Returns the same
-    * docs and scores as the exhaustive scorer — asserted by the
-    * differential spec. */
+    * disjoint doc spaces, and delta generations are ordinary shards in the
+    * (1000+gen) namespace), then a driver-side merge of the tiny per-shard
+    * top-k lists. Under live deltas the snapshot's dead-doc set
+    * ([[deadDocs]], delta-sized) broadcasts into the per-shard scorers so
+    * tombstoned docs never occupy heap slots — the daemon keeps its fast
+    * path during watch mode. Falls back to [[search]] for
+    * phrase/fuzzy/regex nodes, when filters are present (a θ-threshold
+    * over the unfiltered stream would not be the filtered top-k), or when
+    * the dead set exceeds its driver budget. Returns the same docs and
+    * scores as the exhaustive scorer — asserted by the differential
+    * spec. */
   def searchWand(q: FtsQuery): Seq[SearchResult] = {
     validate(q)
     // fuzzy/regex expand to exact term sets first, so they ride the
@@ -588,8 +618,12 @@ class FtsIndex(spark: SparkSession, root: String) {
     val nodes = expandNodes(buildNodes(q))
     val simple = nodes.nonEmpty && nodes.forall(_.alts.nonEmpty) &&
       nodes.forall(_.alts.forall(_.isInstanceOf[TermQ]))
-    if (!simple || q.hasFilters || deltaDirs.nonEmpty)
-      return searchCollected(q)
+    if (!simple || q.hasFilters) return searchCollected(q)
+    val dead: Wand.DeadSet = deadDocs match {
+      case Some(ids) if ids.isEmpty => Wand.DeadSet.empty
+      case Some(ids) => new Wand.DeadSet(ids) // sorted by construction
+      case None => return searchCollected(q)
+    }
     val k = if (q.limit == 0) 100000 else q.limit
     // limit=0 forces snippets off, like search() and the reference
     // (tantivy_index_manager.py:549-553) — ADVICE r02 #3
@@ -605,16 +639,21 @@ class FtsIndex(spark: SparkSession, root: String) {
       nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
     val avgdl = avgdlByField
 
+    // the dead set rides Spark's torrent broadcast (it can reach tens of
+    // MB under heavy churn; the task closure should stay small)
+    val deadBc: Option[org.apache.spark.broadcast.Broadcast[Wand.DeadSet]] =
+      if (dead.isEmpty) None else Some(spark.sparkContext.broadcast(dead))
     val perShard = segments.where(pred)
       .groupByKey(_.shard)
       .flatMapGroups { (_: Int, it: Iterator[SegmentBlock]) =>
+        val dd = deadBc.map(_.value).getOrElse(Wand.DeadSet.empty)
         val byFt = it.toArray.groupBy(b => (b.field, b.term))
           .view.mapValues(_.sortBy(_.first_doc)).toMap
         val groups = groupSpec.map(_.flatMap { ft =>
           byFt.get(ft).map(bl => (bl, idfs.getOrElse(ft, 0.0), avgdl(ft._1)))
         })
         if (groups.exists(_.isEmpty)) Iterator.empty
-        else Wand.topKShard(groups, k)._1.iterator
+        else Wand.topKShard(groups, k, 0.0, dd)._1.iterator
       }.collect()
 
     val top = perShard.sortBy(s => (-s.score, s.doc)).take(k)
@@ -668,6 +707,20 @@ class FtsIndex(spark: SparkSession, root: String) {
 object FtsIndex {
 
   private[query] val EmptyPos: Array[Int] = Array.empty[Int]
+
+  /** Balanced OR of predicate columns: a linear `reduce(_ || _)` over a
+    * many-alternative query (e.g. hundreds of fuzzy words) builds an
+    * expression chain deep enough to overflow the column-conversion
+    * recursion; pairwise folding keeps depth at log2(n). */
+  private[query] def orAll(
+      cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty)
+    var cur = cols
+    while (cur.size > 1)
+      cur = cur.grouped(2)
+        .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toSeq
+    cur.head
+  }
 
   /** Staleness fingerprint of an index root's on-disk state: live version
     * dir + delta generation list (reference reload-on-access staleness

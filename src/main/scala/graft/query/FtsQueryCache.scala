@@ -10,8 +10,7 @@ import graft.index.FtsSchema._
   * queries"; server/cache/fts_index_cache.py TTL/size-bounded cache). The
   * reference serves EVERY query shape from that warm cache; this layer
   * does the same for exact, fuzzy, regex, phrase and language/path-filtered
-  * queries (line-range filters and delta-carrying snapshots go to the
-  * cluster path).
+  * queries (line-range filters go to the cluster path).
   *
   * The cluster-side [[FtsIndex]] is the source of truth; this layer keeps
   * LRUs of QUERY-TOUCHED state on the driver:
@@ -31,13 +30,27 @@ import graft.index.FtsSchema._
   * block-max WAND (or the exact phrase scorer) over cached blocks, zero
   * Spark jobs — in single-digit milliseconds.
   *
+  * LIVE DELTAS: the cache keeps serving while delta generations exist —
+  * the streaming regime, where the reference daemon never drops its warm
+  * index (daemon/cache.py:82-383). The snapshot's delta-sized dead-doc set
+  * ([[FtsIndex.deadDocs]]) filters tombstoned docs out of every driver
+  * scorer; segments/dict/N/avgdl are already delta-merged by [[FtsIndex]].
+  * Only a dead set past its driver budget falls back to the cluster.
+  *
   * Filtered queries run WAND with an over-pull, then apply the reference's
   * filter precedence (lang-excl, lang-incl, path-excl, path-incl —
   * tantivy_index_manager.py:642-678) driver-side and re-pull with a larger
   * k until k results survive or the match stream is exhausted — EXACT
   * filter-then-top-k semantics (the reference's own daemon overfetches x3
   * and accepts recall loss; we grow until exact, and fall back to the
-  * cluster beyond `maxOverpull` candidates).
+  * cluster beyond `maxOverpull` candidates — checked up front too, so a
+  * limit=0 filtered query never collects 3x100000 candidate rows).
+  *
+  * Concurrency: each LRU has its own monitor, held only around map
+  * get/put — never across a Spark job (miss population runs unlocked;
+  * a racing duplicate fetch is idempotent). Concurrent hot queries
+  * therefore proceed in parallel instead of serializing through one
+  * coarse lock (the reference daemon's RW-lock shape, daemon/cache.py).
   *
   * The cache is pinned to one index snapshot ([[FtsIndex.fingerprint]]);
   * pair it with [[ReloadingFtsIndex]] to swap after upserts.
@@ -75,50 +88,66 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** LRU doc_id -> content — fetched only for FINAL top-k rows. */
   private val contentRows = lru[Long, String](maxDocs)
 
-  /** df per (field, term), dictionary-backed; ONE Spark job for all misses. */
+  /** The snapshot's tombstone filter (delta-sized, loaded once, by ONE
+    * Spark job on first use). None = too large for the driver budget. */
+  private lazy val deadSet: Option[Wand.DeadSet] =
+    idx.deadDocs.map(ids => new Wand.DeadSet(ids)) // sorted by construction
+
+  /** df per (field, term), dictionary-backed; ONE Spark job for all misses
+    * (run OUTSIDE the lock). */
   private def dfsFor(fts: Seq[(String, String)])
-      : Map[(String, String), Long] = synchronized {
-    val hits = fts.flatMap(ft => Option(termDfs.get(ft)).map(ft -> _.toLong)).toMap
+      : Map[(String, String), Long] = {
+    val hits = termDfs.synchronized {
+      fts.flatMap(ft => Option(termDfs.get(ft)).map(ft -> _.toLong)).toMap
+    }
     val missing = fts.filterNot(hits.contains)
     if (missing.isEmpty) return hits
-    val pred = missing.map { case (f, t) =>
+    val pred = FtsIndex.orAll(missing.map { case (f, t) =>
       col("field") === f && col("term") === t
-    }.reduce(_ || _)
+    })
     val got = idx.dict.where(pred).select("field", "term", "df").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val withZeros = missing.map(ft => ft -> got.getOrElse(ft, 0L)).toMap
-    withZeros.foreach { case (ft, df) => termDfs.put(ft, df) }
+    termDfs.synchronized {
+      withZeros.foreach { case (ft, df) => termDfs.put(ft, df) }
+    }
     hits ++ withZeros
   }
 
   /** Fetch-or-load blocks for (field, term) pairs; ONE Spark job for all
-    * misses together. Callers must have df-gated the pairs already. The
-    * returned map is built from hits + freshly fetched rows directly —
-    * correctness never depends on what survives the LRU. */
+    * misses together (outside the lock). Callers must have df-gated the
+    * pairs already. The returned map is built from hits + freshly fetched
+    * rows directly — correctness never depends on what survives the LRU. */
   private def blocksFor(fts: Seq[(String, String)])
-      : Map[(String, String), Array[SegmentBlock]] = synchronized {
-    val hits = fts.flatMap(ft => Option(termBlocks.get(ft)).map(ft -> _)).toMap
+      : Map[(String, String), Array[SegmentBlock]] = {
+    val hits = termBlocks.synchronized {
+      fts.flatMap(ft => Option(termBlocks.get(ft)).map(ft -> _)).toMap
+    }
     val missing = fts.filterNot(hits.contains)
     val fetched: Map[(String, String), Array[SegmentBlock]] =
       if (missing.isEmpty) Map.empty
       else {
-        val pred = missing.map { case (f, t) =>
+        val pred = FtsIndex.orAll(missing.map { case (f, t) =>
           col("field") === f && col("term") === t
-        }.reduce(_ || _)
+        })
         val got = idx.segments.where(pred).collect()
           .groupBy(b => (b.field, b.term))
           .view.mapValues(_.sortBy(b => (b.shard, b.first_doc))).toMap
         val withEmpties = missing.map(ft =>
           ft -> got.getOrElse(ft, Array.empty[SegmentBlock])).toMap
-        withEmpties.foreach { case (ft, bl) => termBlocks.put(ft, bl) }
+        termBlocks.synchronized {
+          withEmpties.foreach { case (ft, bl) => termBlocks.put(ft, bl) }
+        }
         withEmpties
       }
     hits ++ fetched
   }
 
   private def metaFor(ids: Seq[Long])
-      : Map[Long, (String, String, String, Int)] = synchronized {
-    val hits = ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
+      : Map[Long, (String, String, String, Int)] = {
+    val hits = metaRows.synchronized {
+      ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
+    }
     val missing = ids.filterNot(hits.contains)
     if (missing.isEmpty) return hits
     val docs = idx.effectiveDocs
@@ -131,37 +160,54 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
         lsCol.as("ls")).collect()
       .map(r => r.getLong(0) ->
         (r.getString(1), r.getString(2), r.getString(3), r.getInt(4))).toMap
-    got.foreach { case (id, row) => metaRows.put(id, row) }
+    metaRows.synchronized {
+      got.foreach { case (id, row) => metaRows.put(id, row) }
+    }
     hits ++ got
   }
 
-  private def contentFor(ids: Seq[Long]): Map[Long, String] = synchronized {
-    val hits = ids.flatMap(id => Option(contentRows.get(id)).map(id -> _)).toMap
+  private def contentFor(ids: Seq[Long]): Map[Long, String] = {
+    val hits = contentRows.synchronized {
+      ids.flatMap(id => Option(contentRows.get(id)).map(id -> _)).toMap
+    }
     val missing = ids.filterNot(hits.contains)
     if (missing.isEmpty) return hits
     val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
       .select("doc_id", "content").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    got.foreach { case (id, c) => contentRows.put(id, c) }
+    contentRows.synchronized {
+      got.foreach { case (id, c) => contentRows.put(id, c) }
+    }
     hits ++ got
   }
 
   /** Expand fuzzy/regex alternatives, LRU-cached; cluster dict job on miss
     * (via [[FtsIndex.expandAlts]] — the same expansion the cluster path
-    * runs, so results are identical by construction). */
-  private def expandLocal(nodes: Seq[Node]): Seq[Node] = synchronized {
+    * runs, so results are identical by construction). The per-call map is
+    * built from LRU hits + the expandAlts return value directly — the LRU
+    * is only a cache, never the source of truth (a query with more
+    * alternatives than the LRU capacity must not read back its own
+    * evictions — ADVICE r03 #4). */
+  private def expandLocal(nodes: Seq[Node]): Seq[Node] = {
     val dyn = nodes.flatMap(_.alts).collect {
       case f: FuzzyQ => f: FieldQ
       case r: RegexQ => r: FieldQ
     }.distinct
     if (dyn.isEmpty) return nodes
-    val missing = dyn.filter(a => !expansions.containsKey(a))
-    if (missing.nonEmpty)
-      idx.expandAlts(missing).foreach { case (a, ts) => expansions.put(a, ts) }
+    val hits = expansions.synchronized {
+      dyn.flatMap(a => Option(expansions.get(a)).map(a -> _)).toMap
+    }
+    val missing = dyn.filterNot(hits.contains)
+    val fresh: Map[FieldQ, Seq[TermQ]] =
+      if (missing.isEmpty) Map.empty else idx.expandAlts(missing)
+    if (fresh.nonEmpty) expansions.synchronized {
+      fresh.foreach { case (a, ts) => expansions.put(a, ts) }
+    }
+    val all = hits ++ fresh
     nodes.map { nd =>
       Node(nd.alts.flatMap {
-        case a: FuzzyQ => expansions.get(a)
-        case a: RegexQ => expansions.get(a)
+        case a: FuzzyQ => all(a)
+        case a: RegexQ => all(a)
         case a => Seq(a)
       })
     }
@@ -191,8 +237,14 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     * further) whenever a shape or budget rules the driver path out. */
   def search(q: FtsQuery): Seq[SearchResult] = {
     idx.validate(q)
-    if (idx.hasDeltas || q.minLine.isDefined || q.maxLine.isDefined)
+    if (q.minLine.isDefined || q.maxLine.isDefined)
       return idx.searchWand(q)
+    // live deltas: keep serving warm, filtering tombstoned docs out of
+    // every scorer below; only an oversized dead set leaves the driver
+    val dead: Wand.DeadSet = deadSet match {
+      case Some(d) => d
+      case None => return idx.searchWand(q)
+    }
     val nodes = expandLocal(buildNodes(q))
     if (nodes.isEmpty) return Nil
     if (nodes.exists(_.alts.isEmpty)) return Nil // AND: unmatched word
@@ -224,20 +276,25 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
     // df-gated posting sets) — computed ONCE even across overpull rounds;
     // lazy WAND pulls otherwise
     lazy val phraseMatches: Seq[Wand.Scored] =
-      scorePhraseLocal(nodes, blocks, dfs)
+      scorePhraseLocal(nodes, blocks, dfs, dead)
     def pullTopK(kk: Int): (Seq[Wand.Scored], Boolean) =
       if (hasPhrase) {
         val all = phraseMatches
         (all.take(kk), all.size <= kk)
       } else {
         val groupSpec = nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
-        val got = wandLocal(groupSpec, blocks, idfs, kk)
+        val got = wandLocal(groupSpec, blocks, idfs, kk, dead)
         (got, got.size < kk)
       }
 
     val top: Seq[Wand.Scored] =
       if (!q.hasFilters) pullTopK(k)._1
       else {
+        // the documented contract: beyond maxOverpull candidates the query
+        // belongs on the cluster — checked BEFORE the first pull too, so a
+        // filtered limit=0 query (k=100000) never collects 3k candidates'
+        // metadata through the driver (ADVICE r03 #3)
+        if (math.max(3 * k, 30) > maxOverpull) return idx.searchWand(q)
         val pathMatch = PathGlob.anyMatcher(q.pathFilters)
         val pathExcl = PathGlob.anyMatcher(q.excludePathFilters)
         var kk = math.max(3 * k, 30)
@@ -292,7 +349,7 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   private def wandLocal(groupSpec: Seq[Seq[(String, String)]],
                         blocks: Map[(String, String), Array[SegmentBlock]],
                         idfs: Map[(String, String), Double],
-                        k: Int): Seq[Wand.Scored] = {
+                        k: Int, dead: Wand.DeadSet): Seq[Wand.Scored] = {
     val shards = blocks.values.flatten.map(_.shard).toSeq.distinct.sorted
     val collected = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]
     var floor = 0.0
@@ -303,7 +360,7 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
         else Some((bl, idfs(ft), idx.avgdl(ft._1)))
       })
       if (!groups.exists(_.isEmpty)) {
-        collected ++= Wand.topKShard(groups, k, floor)._1
+        collected ++= Wand.topKShard(groups, k, floor, dead)._1
         if (collected.size >= k) {
           val kth = collected.sortBy(s => (-s.score, s.doc)).apply(k - 1)
           floor = Math.nextDown(kth.score)
@@ -316,10 +373,12 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** Exhaustive driver scorer for phrase-bearing queries: decode the
     * (df-gated) posting lists WITH positions and evaluate candidates with
     * the cluster's own [[FtsIndex.scoreDoc]] — identical semantics by
-    * construction. Returns ALL matches sorted (score desc, doc asc). */
+    * construction. Returns ALL (alive) matches sorted (score desc, doc
+    * asc). */
   private def scorePhraseLocal(nodes: Seq[Node],
                                blocks: Map[(String, String), Array[SegmentBlock]],
-                               dfs: Map[(String, String), Long])
+                               dfs: Map[(String, String), Long],
+                               dead: Wand.DeadSet)
       : Seq[Wand.Scored] = {
     import graft.index.Codec
     // decode each (field, term)'s postings into doc -> (tf, dl, positions)
@@ -351,15 +410,17 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
       .reduceOption(_ intersect _).getOrElse(Set.empty)
     val avgdl = Map(FieldContent -> idx.avgdl(FieldContent),
       FieldRaw -> idx.avgdl(FieldRaw), FieldIdent -> idx.avgdl(FieldIdent))
-    candidates.toSeq.sorted.flatMap { doc =>
-      val rows = byFt.iterator.flatMap { case ((f, t), m) =>
-        m.get(doc).map { case (tf, dl, pos) =>
-          (doc, f, t, tf, dl, pos, dfs((f, t)))
+    candidates.toSeq.sorted
+      .filterNot(dead.contains) // tombstoned docs never reach the scorer
+      .flatMap { doc =>
+        val rows = byFt.iterator.flatMap { case ((f, t), m) =>
+          m.get(doc).map { case (tf, dl, pos) =>
+            (doc, f, t, tf, dl, pos, dfs((f, t)))
+          }
         }
-      }
-      val sc = FtsIndex.scoreDoc(nodes, idx.nDocs, avgdl, rows)
-      if (sc.isNaN) None else Some(Wand.Scored(doc, sc))
-    }.sortBy(s => (-s.score, s.doc))
+        val sc = FtsIndex.scoreDoc(nodes, idx.nDocs, avgdl, rows)
+        if (sc.isNaN) None else Some(Wand.Scored(doc, sc))
+      }.sortBy(s => (-s.score, s.doc))
   }
 
   /** Same node construction as the cluster path (shared code). */
@@ -370,7 +431,8 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** Whether a term's posting blocks were ever collected to the driver
     * (the df-gate spec asserts this stays false for stopword-grade terms). */
   private[graft] def hasBlocksFor(field: String, term: String): Boolean =
-    synchronized(termBlocks.containsKey((field, term)))
+    termBlocks.synchronized(termBlocks.containsKey((field, term)))
 
-  private[graft] def cachedTermCount: Int = synchronized(termBlocks.size())
+  private[graft] def cachedTermCount: Int =
+    termBlocks.synchronized(termBlocks.size())
 }

@@ -27,14 +27,30 @@ object Hybrid {
 
   /** Run FTS and semantic search in parallel (the reference's 2-worker
     * ThreadPoolExecutor — here two futures over the shared SparkSession;
-    * Spark schedules the two job DAGs concurrently). */
+    * Spark schedules the two job DAGs concurrently). CONTRACT MODE: the
+    * semantic half is the exact full scan — bit-reproducible, but O(table)
+    * per query; production serving goes through [[search(idx*]] with an
+    * [[graft.ops.AnnIndex]]. */
   def search(idx: FtsIndex, emb: DataFrame, queryVec: Array[Float],
-             q: FtsQuery, kSemantic: Int = 10): HybridResults = {
+             q: FtsQuery, kSemantic: Int = 10): HybridResults =
+    runBoth(idx, q, semanticTopK(emb, queryVec, kSemantic))
+
+  /** Production hybrid: the semantic half probes a prebuilt IVF index —
+    * per query, driver-side probe selection + ONE job over the probed
+    * cells (the reference's ~20 ms HNSW analog, docs/query-guide.md:76),
+    * instead of a full scan of the embeddings table. */
+  def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
+             q: FtsQuery, kSemantic: Int): HybridResults =
+    runBoth(idx, q,
+      ann.topK(queryVec, kSemantic).map { case (id, s) => SemanticHit(id, s) })
+
+  private def runBoth(idx: FtsIndex, q: FtsQuery,
+                      semantic: => Seq[SemanticHit]): HybridResults = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val ftsF = Future(idx.searchCollected(q))
-    val semF = Future(semanticTopK(emb, queryVec, kSemantic))
+    val semF = Future(semantic)
     HybridResults(Await.result(ftsF, Duration.Inf),
       Await.result(semF, Duration.Inf))
   }

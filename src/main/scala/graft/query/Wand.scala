@@ -25,6 +25,25 @@ object Wand {
 
   final case class Scored(doc: Long, score: Double)
 
+  /** Sorted set of tombstoned doc_ids — docs that still carry postings in
+    * the segments (df/N keep counting them, the documented
+    * eventual-consistency contract) but must never occupy a top-k heap
+    * slot (they'd raise θ past alive docs ranked below them). Delta-sized:
+    * one id per superseded document; built once per index snapshot
+    * ([[FtsIndex.deadDocs]]) and broadcast to per-shard scorers. */
+  final class DeadSet(sorted: Array[Long]) extends Serializable {
+    def contains(d: Long): Boolean =
+      sorted.length != 0 && java.util.Arrays.binarySearch(sorted, d) >= 0
+    def isEmpty: Boolean = sorted.isEmpty
+    def size: Int = sorted.length
+  }
+  object DeadSet {
+    val empty = new DeadSet(Array.emptyLongArray)
+    def apply(ids: Array[Long]): DeadSet = {
+      val s = ids.clone(); java.util.Arrays.sort(s); new DeadSet(s)
+    }
+  }
+
   /** Cursor over one (field, term)'s blocks within a shard. */
   private final class TermCursor(blocks: Array[SegmentBlock],
                                  val idf: Double, avgdl: Double) {
@@ -132,9 +151,13 @@ object Wand {
     *                 (blocks sorted by first_doc, idf, avgdl)
     * @param k        heap size
     * @param floor    starting threshold (e.g. from already-merged shards)
+    * @param dead     tombstoned doc_ids to skip (never scored, never in
+    *                 the heap) — their postings still contribute to the
+    *                 block-max bounds, which stay valid upper bounds
     */
   def topKShard(groups: Seq[Seq[(Array[SegmentBlock], Double, Double)]],
-                k: Int, floor: Double = 0.0): (Seq[Scored], WandStats) = {
+                k: Int, floor: Double = 0.0,
+                dead: DeadSet = DeadSet.empty): (Seq[Scored], WandStats) = {
     val gcs = groups.map(g => new GroupCursor(
       g.map { case (bl, idf, avg) => new TermCursor(bl, idf, avg) }.toArray))
       .toArray
@@ -142,12 +165,21 @@ object Wand {
     val blocksTotal = gcs.flatMap(_.cursors).map(_ => 0L).sum +
       groups.flatten.map(_._1.length.toLong).sum
 
-    // min-heap of (score, doc) keeping the k best
+    // min-heap of (score, doc) keeping the k best under the final result
+    // ordering (score desc, doc asc): the worst member — the eviction
+    // candidate at peek() — is the lowest score, and among exact score
+    // ties the HIGHEST doc_id, so ties at the k boundary resolve exactly
+    // like the exhaustive path's orderBy(desc(score), asc(doc_id))
     val heap = new java.util.PriorityQueue[Scored](
-      math.max(k, 1), (a: Scored, b: Scored) => java.lang.Double.compare(a.score, b.score))
+      math.max(k, 1), (a: Scored, b: Scored) => {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c else java.lang.Long.compare(b.doc, a.doc)
+      })
+    // θ is nextDown(kth score): a doc scoring EXACTLY the kth score may
+    // still enter on the doc_id tie-break, so it must not be pruned
     def theta: Double =
       if (heap.size < k) floor
-      else math.max(floor, heap.peek().score)
+      else math.max(floor, Math.nextDown(heap.peek().score))
 
     var done = false
     while (!done) {
@@ -180,10 +212,20 @@ object Wand {
           gcs.foreach(_.advanceTo(d))
           val aligned = gcs.forall(g => g.doc == d && g.matchedAt(d))
           if (aligned) {
-            var s = 0.0
-            gcs.foreach(g => s += g.scoreAt(d))
-            if (heap.size < k) heap.add(Scored(d, s))
-            else if (s > heap.peek().score) { heap.poll(); heap.add(Scored(d, s)) }
+            // a tombstoned doc is matched but never scored — it must not
+            // occupy a heap slot (and θ must not rise past alive docs)
+            if (!dead.contains(d)) {
+              var s = 0.0
+              gcs.foreach(g => s += g.scoreAt(d))
+              if (heap.size < k) heap.add(Scored(d, s))
+              else {
+                val worst = heap.peek()
+                // tie at the boundary: the lower doc_id wins
+                if (s > worst.score || (s == worst.score && d < worst.doc)) {
+                  heap.poll(); heap.add(Scored(d, s))
+                }
+              }
+            }
             gcs.foreach(_.advanceTo(d + 1))
           }
           // groups that jumped past d define the next candidate naturally

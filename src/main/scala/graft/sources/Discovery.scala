@@ -45,13 +45,68 @@ object Discovery {
     !substring(col("content"), 1, 1024).contains("\u0000")
 
   /** S3: exclude-dir / gitignore-style pattern filter. Patterns compile to
-    * gitwildmatch regexes driver-side, composed as one rlike. */
+    * gitwildmatch regexes driver-side, composed as one rlike. `negGlobs`
+    * re-include (gitignore `!pattern` lines): a path is kept when it
+    * matches no exclude glob OR matches a negation. */
   def excludePathFilter(
       dirs: Seq[String] = DefaultExcludeDirs,
-      extraGlobs: Seq[String] = Nil): Column = {
+      extraGlobs: Seq[String] = Nil,
+      negGlobs: Seq[String] = Nil): Column = {
     val globs = dirs.flatMap(d => Seq(s"$d/**", s"**/$d/**")) ++ extraGlobs
-    val regex = globs.map(PathGlob.toRegex).mkString("|")
-    !col("path").rlike(regex)
+    val keep = PathGlob.anyRegex(globs) match {
+      case Some(re) => !col("path").rlike(re)
+      case None => lit(true)
+    }
+    PathGlob.anyRegex(negGlobs) match {
+      case Some(re) => keep || col("path").rlike(re)
+      case None => keep
+    }
+  }
+
+  /** Gitignore ingestion (reference: indexing/file_finder.py:112-149):
+    * parse ONE .gitignore body into gitwildmatch patterns. `baseDir` = ""
+    * for the repo-root file; for a nested file (the reference descends
+    * exactly ONE level) pass its directory — nested lines are prefixed
+    * `baseDir/` UNLESS they start with '/', which the reference leaves
+    * untouched (root-anchored; quirk preserved). Comments and blanks are
+    * skipped. Returns (excludes, negations): root-level `!lines` become
+    * negations for [[excludePathFilter]]'s `negGlobs` (pathspec's
+    * last-match-wins is approximated as excluded-and-not-negated);
+    * NESTED `!lines` get prefixed first — `sub/!x` — and are therefore
+    * literal non-negating patterns, exactly as the reference's
+    * prefix-then-parse produces. */
+  def gitignorePatterns(content: String,
+                        baseDir: String = ""): (Seq[String], Seq[String]) = {
+    val lines = content.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        if (baseDir.nonEmpty && !l.startsWith("/")) s"$baseDir/$l" else l
+      }.toSeq
+    val (negs, excls) = lines.partition(_.startsWith("!"))
+    (excls, negs.map(_.drop(1)))
+  }
+
+  /** Collect every applicable .gitignore from a single-repo file table
+    * (root + one directory level, like the reference) and fold them into
+    * one (excludes, negations) pair for [[excludePathFilter]]. The
+    * gitignore rows themselves are a handful of driver-collected files —
+    * never corpus-sized. */
+  def gitignoreGlobs(files: DataFrame): (Seq[String], Seq[String]) = {
+    // the reference skips these dirs when descending one level
+    // (file_finder.py:141-147)
+    val skip = Set(".git", "__pycache__", ".mypy_cache", "node_modules")
+    val rows = files
+      .where(col("path") === ".gitignore" ||
+        col("path").rlike("^[^/]+/\\.gitignore$"))
+      .select("path", "content").collect()
+      .filterNot(r => skip.exists(d => r.getString(0).startsWith(d + "/")))
+      .sortBy(_.getString(0).length) // root first, then nested
+    val parsed = rows.toSeq.map { r =>
+      val p = r.getString(0)
+      val base = if (p == ".gitignore") "" else p.stripSuffix("/.gitignore")
+      gitignorePatterns(r.getString(1), base)
+    }
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
   /** The composed discovery predicate (S2 AND S3 AND S4 AND S5). */

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PathGlob
+import graft.sources.Discovery
+
+/** Gitignore ingestion (reference: indexing/file_finder.py:112-149 —
+  * root .gitignore verbatim, ONE nested level with directory prefixing,
+  * leading-'/' lines left untouched) feeding the S3 exclude filter. */
+class GitignoreSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("leading-slash glob anchors at the path root (gitwildmatch)") {
+    val m = PathGlob.anyMatcher(Seq("/dist"))
+    assert(m("dist"))
+    assert(m("dist/bundle.js"))
+    assert(!m("src/dist/bundle.js"), "/dist must not match nested dist")
+    // without the slash the same name matches at any depth
+    val m2 = PathGlob.anyMatcher(Seq("dist"))
+    assert(m2("src/dist/bundle.js"))
+  }
+
+  test("gitignorePatterns: comments and blanks skipped, root lines " +
+       "verbatim, root negations split out") {
+    val body =
+      """# build artifacts
+        |dist/
+        |*.log
+        |
+        |/coverage
+        |!keep.log
+        |""".stripMargin
+    val (excl, neg) = Discovery.gitignorePatterns(body)
+    assert(excl === Seq("dist/", "*.log", "/coverage"))
+    assert(neg === Seq("keep.log"))
+  }
+
+  test("gitignorePatterns: nested lines get the directory prefix UNLESS " +
+       "they start with '/' (reference quirk preserved)") {
+    val body =
+      """build
+        |/generated
+        |!cache
+        |""".stripMargin
+    val (excl, neg) = Discovery.gitignorePatterns(body, "services/api")
+    // '/generated' is NOT prefixed (file_finder.py:131-135 only prefixes
+    // lines that don't start with '/'), and the nested '!cache' line is
+    // prefixed FIRST — 'services/api/!cache' — so it is a literal
+    // pattern, not a negation, exactly like the reference's
+    // prefix-then-parse
+    assert(excl === Seq("services/api/build", "/generated",
+      "services/api/!cache"))
+    assert(neg === Nil)
+  }
+
+  test("gitignoreGlobs collects root + one-level .gitignore files, " +
+       "skipping the reference's pruned dirs") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      (".gitignore", "*.log\n!keep.log\n"),
+      ("web/.gitignore", "bundle/\n"),
+      ("node_modules/.gitignore", "everything\n"), // pruned dir: skipped
+      ("a/b/.gitignore", "too_deep\n"), // two levels: never read
+      ("src/main.py", "print(1)")).toDF("path", "content")
+    val (excl, neg) = Discovery.gitignoreGlobs(files)
+    assert(excl === Seq("*.log", "web/bundle/"))
+    assert(neg === Seq("keep.log"))
+  }
+
+  test("excludePathFilter composes gitignore patterns: excludes, " +
+       "negation re-includes, defaults still apply") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      "src/app.py", "debug.log", "logs/run.log", "keep.log",
+      "web/bundle/x.js", "other/bundle/x.js",
+      "node_modules/lib/index.js").toDF("path")
+    val kept = files.where(Discovery.excludePathFilter(
+        extraGlobs = Seq("*.log", "web/bundle/**"),
+        negGlobs = Seq("keep.log")))
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("src/app.py", "keep.log", "other/bundle/x.js"))
+  }
+}

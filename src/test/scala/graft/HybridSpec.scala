@@ -33,4 +33,35 @@ class HybridSpec extends AnyFunSuite {
     // descending similarity, deterministic tie-break
     assert(r.semantic.map(_.sim) === r.semantic.map(_.sim).sorted.reverse)
   }
+
+  test("IVF-backed hybrid: recall@10 >= 0.9 vs the exact scan; one pruned " +
+       "job per query instead of a full table scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ann = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 6)
+    try {
+      val queries = emb
+        .where(org.apache.spark.sql.functions.col("vec_id") < 25)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val recalls = queries.map { case (_, qv) =>
+        val exact = Hybrid.semanticTopK(emb, qv, 10).map(_.vec_id).toSet
+        val ivf = ann.topK(qv, 10).map(_._1).toSet
+        (exact intersect ivf).size / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.9, f"IVF recall@10 $mean%.3f < 0.9")
+
+      // end-to-end: the production hybrid entry point returns both lists
+      val root = TestSpark.tempDir("hybrid_ivf")
+      FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusA), root,
+        FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4))
+      val idx = new FtsIndex(spark, root)
+      val r = Hybrid.search(idx, ann, queries.head._2,
+        FtsQuery("authenticate", limit = 5), kSemantic = 10)
+      assert(r.fts.nonEmpty)
+      assert(r.semantic.size === 10)
+      assert(r.semantic.head.vec_id === queries.head._1,
+        "the query vector itself must rank first")
+    } finally ann.close()
+  }
 }

@@ -3,9 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
-/** Multimodal plumbing: schema, determinism, batch shapes. Image (PNG via
-  * javax.imageio) and audio (RIFF/WAVE PCM16) kernels are REAL codecs;
-  * video demux remains a documented stub — see Multimodal scaladoc. */
+/** Multimodal plumbing: schema, determinism, batch shapes. All three
+  * kernels are REAL codecs — image (PNG via javax.imageio), audio
+  * (RIFF/WAVE PCM16), video (YUV4MPEG2 demux). */
 class MultimodalSpec extends AnyFunSuite {
 
   private def spark = TestSpark.spark
@@ -31,17 +31,44 @@ class MultimodalSpec extends AnyFunSuite {
       f2.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
-  test("image resize updates metadata, video frame sampling respects duration") {
+  test("image resize updates metadata, video frame sampling demuxes " +
+       "real Y4M frames at the container's frame rate") {
     val resized = Multimodal.resizeImages(media, 32, 32).collect()
     assert(resized.nonEmpty)
     assert(resized.forall(m => m.meta.width == 32 && m.meta.height == 32))
-    val frames = Multimodal.sampleFrames(media, 1000L).collect()
-    assert(frames.nonEmpty)
-    val byId = frames.groupBy(_.media_id)
-    byId.values.foreach { fs =>
-      assert(fs.length === 4) // 4000 ms duration / 1000 ms
-      assert(fs.map(_.ts_ms).sorted.toSeq === Seq(0L, 1000L, 2000L, 3000L))
+    // 25 fps = 40 ms per frame; sampling at 40 ms returns every frame
+    val all = Multimodal.sampleFrames(media, 40L).collect()
+    assert(all.nonEmpty)
+    all.groupBy(_.media_id).values.foreach { fs =>
+      assert(fs.length === 6) // 6 synthesized frames
+      assert(fs.map(_.ts_ms).sorted.toSeq === Seq(0L, 40L, 80L, 120L, 160L, 200L))
+      // each frame is one whole C420 frame: Y 32x32 + U,V 16x16
+      assert(fs.forall(_.frame_bytes.length === 32 * 32 + 2 * 16 * 16))
     }
+    // sampling far above the clip duration still yields frame 0
+    val sparse = Multimodal.sampleFrames(media, 1000L).collect()
+    sparse.groupBy(_.media_id).values.foreach { fs =>
+      assert(fs.map(_.frame_idx).toSeq === Seq(0))
+    }
+  }
+
+  test("video blobs are real Y4M streams: demuxed header matches metadata") {
+    val vids = media.collect().filter(_.kind == "video")
+    assert(vids.nonEmpty)
+    vids.foreach { m =>
+      assert(new String(m.bytes, 0, 9, "US-ASCII") === "YUV4MPEG2")
+      val (w, h, fn, fd, frames) = Multimodal.parseY4m(m.bytes)
+      assert(w === m.meta.width && h === m.meta.height)
+      assert(fn === 25 && fd === 1)
+      assert(frames.length === 6)
+    }
+    val f = Multimodal.extractFeatures(media, dim = 32).collect()
+      .filter(_.kind == "video")
+    // features carry demuxed width (dim 0), height (dim 1), frames (dim 2)
+    assert(f.forall(x => x.features(0) == 32.0f && x.features(1) == 32.0f &&
+      x.features(2) == 6.0f))
+    // mean luminance of xorshift noise sits near 127.5
+    assert(f.forall(x => x.features(3) > 100.0f && x.features(3) < 155.0f))
   }
 
   test("image blobs are real PNGs: decoded dims match metadata") {
@@ -120,6 +147,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gotA(0) === 16000f && gotA(1) === 4000f)
     val sumSq = samples.map(v => v.toLong * v).sum
     assert(gotA(2) === (math.sqrt(sumSq.toDouble / 4000) / 32768.0).toFloat)
+
+    // video: Y4M demux roundtrip — per-frame mean luma from the decoded
+    // Y planes must equal the values computed straight from the xorshift
+    // byte stream
+    val y4m = Multimodal.synthY4m(seed, 32, 32, 6, 25)
+    val gotV = Multimodal.decodeY4mFeatures(y4m, 32)
+    assert(gotV(0) === 32f && gotV(1) === 32f && gotV(2) === 6f)
+    var s3 = seed
+    for (f <- 0 until 6) {
+      var sum = 0L
+      for (i <- 0 until 1536) {
+        s3 = xs(s3)
+        if (i < 1024) sum += (s3 & 0xFF)
+      }
+      assert(gotV(3 + f) === (sum.toDouble / 1024).toFloat, s"frame $f luma")
+    }
+    for (j <- 9 until 32) assert(gotV(j) === 0f)
   }
 
   test("media stats aggregate") {
