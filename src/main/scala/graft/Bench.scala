@@ -229,12 +229,14 @@ object Bench {
     val efficiency = perPairEff(perPairEff.size / 2)
 
     // ---- warm query latency (full machine) ------------------------------
-    val spark = newSession(math.max(cpus, n4))
+    // (skippable for build-scaling experiments)
+    val buildOnly = sys.env.contains("SPARK_GRAFT_BENCH_BUILD_ONLY")
+    val spark = if (buildOnly) null else newSession(math.max(cpus, n4))
     val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     var p50Ex = 0.0
     var p50Wand = 0.0
     var p50Cached = 0.0
-    try {
+    try if (!buildOnly) {
       val root = java.nio.file.Files
         .createTempDirectory("graft_bench_q").toString
       FtsIndexBuilder.build(spark,
@@ -285,7 +287,58 @@ object Bench {
         val ts = (0 until reps).map { _ => timeS(cache.search(q))._2 }.sorted
         qtimes(s"q_cached_$name") = ts(ts.size / 2)
       }
-    } finally spark.stop()
+
+      // concurrent hot serving (round-4 lock striping): 8 threads hammer
+      // the hot cache; p50 of per-query latencies ACROSS threads shows
+      // whether concurrent queries serialize
+      {
+        import scala.jdk.CollectionConverters._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val tasks = (0 until 8).map { _ =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              (0 until reps).foreach(_ => querySet.foreach { q =>
+                lat.add(timeS(cache.search(FtsQuery(q, limit = 10)))._2)
+              })
+          }
+        }
+        val t0 = System.nanoTime()
+        pool.invokeAll(tasks.asJava.asInstanceOf[
+          java.util.Collection[java.util.concurrent.Callable[Unit]]])
+        val wall = (System.nanoTime() - t0) / 1e9
+        pool.shutdown()
+        val ts = lat.asScala.toSeq.sorted
+        qtimes("q_cached_hot8_p50") = ts(ts.size / 2)
+        qtimes("q_cached_hot8_qps") = ts.size / wall
+      }
+
+      // LIVE-DELTA warm serving (round-4): append delta generations so the
+      // snapshot is in the streaming regime, then measure the cache — the
+      // daemon keeps its millisecond path while deltas are live
+      {
+        import org.apache.spark.sql.functions._
+        val batch = CodeCorpus.sourceFiles(spark, sfDir).drop("doc_id")
+          .limit(3)
+          .withColumn("content",
+            concat(col("content"), lit("\n# delta_rev streamed")))
+        (1 to 2).foreach { _ =>
+          graft.index.FtsDeltas.upsert(spark, batch, root,
+            FtsIndexBuilder.Config(nShards = 8, segmentPartitions = 16))
+        }
+        val idxD = new FtsIndex(spark, root).warm()
+        val cacheD = new graft.query.FtsQueryCache(idxD)
+        querySet.foreach(q => cacheD.search(FtsQuery(q, limit = 10))) // load
+        val medians = querySet.map { q =>
+          val ts = (0 until reps)
+            .map(_ => timeS(cacheD.search(FtsQuery(q, limit = 10)))._2).sorted
+          qtimes(s"q_cached_delta_${q.replace(' ', '_')}") = ts(ts.size / 2)
+          ts(ts.size / 2)
+        }.sorted
+        qtimes("q_cached_delta") = medians(medians.size / 2)
+        idxD.cool()
+      }
+    } finally if (spark != null) spark.stop()
 
     qtimes(s"build_n$n1") = secN
     qtimes(s"build_n$n4") = sec4N

@@ -32,10 +32,19 @@ object BenchBuild {
     // IDENTICAL logical plan at every parallelism level (same partition
     // counts, sized for the 4N config) — a cluster comparison varies only
     // the executor count, never the plan
+    // shuffle/IO compression codec. zstd is the measured default: the
+    // segments exchange is memory-bandwidth-bound, so zstd's better
+    // ratio through the (tmpfs) shuffle outweighs its CPU cost —
+    // segments-stage seconds dropped ~45% at n8 vs lz4 on this host
+    // (round-4 experiments, BENCH/BASELINE.md §3); a production deploy
+    // sets spark.io.compression.codec=zstd in spark-submit conf
+    val codec = sys.env.getOrElse("GRAFT_BENCH_CODEC", "zstd")
+    val bucketBlocks = sys.env.getOrElse("GRAFT_BENCH_BUCKET_BLOCKS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bb-$mode-$cores")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.io.compression.codec", codec)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -56,7 +65,7 @@ object BenchBuild {
     // 32 segment partitions at EVERY parallelism level (identical plan;
     // finer partitions keep the 8-core config's final wave balanced)
     def cfg = graft.index.FtsIndexBuilder.Config(nShards = NShards,
-      segmentPartitions = 32, shardGroups = 1)
+      segmentPartitions = 32, shardGroups = 1, bucketBlocks = bucketBlocks)
 
     /** The measured-build input table: a shared pre-materialized parquet
       * when it exists AND its stamp matches this run's (sfDir, repl) — a

@@ -32,8 +32,10 @@ import graft.index.FtsSchema._
 object FtsDeltas {
 
   /** Generation offset so delta doc_ids can never collide with base shard
-    * ids (builders use shard < 1000). */
-  private val GenBase = 1000L
+    * ids (builders use shard < 1000). Shards >= GenBase are delta
+    * generations — the mutable part of a version dir; shards below it are
+    * immutable base segments (the cache-inheritance boundary). */
+  private[graft] val GenBase = 1000L
 
   private def currentDir(spark: SparkSession, root: String): String =
     FtsIndexBuilder.currentVersionDir(spark, root)

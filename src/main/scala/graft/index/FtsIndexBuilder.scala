@@ -52,7 +52,14 @@ object FtsIndexBuilder {
       /** shard-group batching: shards stay the manifest/resume unit, but
         * each group of ceil(nShards/shardGroups) shards builds in ONE job
         * chain. Keep the value stable across resume runs of one build. */
-      shardGroups: Int = 4)
+      shardGroups: Int = 4,
+      /** doc-range width of one map-side posting run, in posting BLOCKS
+        * (bucketDocs = bucketBlocks * blockSize). Larger buckets put
+        * fewer, longer runs through the segments exchange (less per-row
+        * shuffle overhead for mid/high-df terms) at the cost of coarser
+        * map-side combine granularity. Segment bytes depend on this value
+        * — keep it stable across resume runs of one build. */
+      bucketBlocks: Int = 32)
 
   final case class BuildReport(version: String, nDocs: Long,
                                shardsBuilt: Seq[Int], shardsSkipped: Seq[Int])
@@ -527,7 +534,7 @@ object FtsIndexBuilder {
     val indexRaw = cfg.indexRawField
     val codeAn = cfg.codeAnalyzers
     val ngrams = cfg.prefixNgrams
-    val bucketDocs = 32L * cfg.blockSize
+    val bucketDocs = cfg.bucketBlocks.toLong * cfg.blockSize
     docs.select($"shard", $"doc_id", $"content", $"ids")
       .as[(Int, Long, String, Seq[String])]
       .mapPartitions { it =>

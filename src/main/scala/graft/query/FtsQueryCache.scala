@@ -55,7 +55,7 @@ import graft.index.FtsSchema._
   * The cache is pinned to one index snapshot ([[FtsIndex.fingerprint]]);
   * pair it with [[ReloadingFtsIndex]] to swap after upserts.
   */
-class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
+class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
                     maxDocs: Int = 16384, maxDfCached: Long = 262144,
                     maxOverpull: Int = 16384,
                     /** bound on a single QUERY's total posting volume and
@@ -63,7 +63,15 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
                       * whose terms are individually small can still sum to
                       * the whole index. */
                     maxQueryDf: Long = 1 << 20,
-                    maxQueryTerms: Int = 1024) {
+                    maxQueryTerms: Int = 1024,
+                    /** the retiring snapshot's cache: state keyed by
+                      * IMMUTABLE data (base posting blocks, doc rows —
+                      * doc_ids are never reused across generations)
+                      * carries over when the version dir is unchanged, so
+                      * a delta append/fold doesn't cold-start the daemon.
+                      * df/expansions/delta blocks are per-snapshot and
+                      * start fresh. */
+                    inheritFrom: Option[FtsQueryCache] = None) {
   import FtsIndex._
 
   private def lru[K, V](cap: Int) =
@@ -72,21 +80,42 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
         size() > cap
     }
 
-  /** LRU (field, term) -> blocks sorted by (shard, first_doc). */
-  private val termBlocks = lru[(String, String), Array[SegmentBlock]](maxTerms)
+  private val prev =
+    inheritFrom.filter(_.idx.versionDir == idx.versionDir)
 
-  /** LRU (field, term) -> df from the dictionary (the block-fetch gate). */
+  /** LRU (field, term) -> BASE posting blocks (shard < GenBase), sorted by
+    * (shard, first_doc). Base segments are immutable for the lifetime of
+    * a version dir — inherited across snapshot reloads. */
+  private val baseBlocks
+      : java.util.LinkedHashMap[(String, String), Array[SegmentBlock]] =
+    prev.map(_.baseBlocks)
+      .getOrElse(lru[(String, String), Array[SegmentBlock]](maxTerms))
+
+  /** LRU (field, term) -> DELTA posting blocks (shard >= GenBase) of THIS
+    * snapshot's generation list — never inherited. */
+  private val deltaBlocks = lru[(String, String), Array[SegmentBlock]](maxTerms)
+
+  /** LRU (field, term) -> df from the dictionary (the block-fetch gate);
+    * per-snapshot: every delta generation shifts df. */
   private val termDfs = lru[(String, String), Long](maxTerms * 4)
 
-  /** LRU fuzzy/regex alternative -> expanded term list. */
+  /** LRU fuzzy/regex alternative -> expanded term list; per-snapshot (a
+    * delta can add dictionary terms that match a pattern). */
   private val expansions = lru[FieldQ, Seq[TermQ]](256)
 
   /** LRU doc_id -> (repo, path, lang, line_start) — the filter columns
-    * plus the chunk line offset (1 for whole-file docs). */
-  private val metaRows = lru[Long, (String, String, String, Int)](maxDocs * 4)
+    * plus the chunk line offset (1 for whole-file docs). Rows are
+    * immutable per doc_id (ids are never reused): inherited. Dead docs
+    * never reach these lookups — every scorer filters tombstones first. */
+  private val metaRows
+      : java.util.LinkedHashMap[Long, (String, String, String, Int)] =
+    prev.map(_.metaRows)
+      .getOrElse(lru[Long, (String, String, String, Int)](maxDocs * 4))
 
-  /** LRU doc_id -> content — fetched only for FINAL top-k rows. */
-  private val contentRows = lru[Long, String](maxDocs)
+  /** LRU doc_id -> content — fetched only for FINAL top-k rows; immutable
+    * per doc_id: inherited. */
+  private val contentRows: java.util.LinkedHashMap[Long, String] =
+    prev.map(_.contentRows).getOrElse(lru[Long, String](maxDocs))
 
   /** The snapshot's tombstone filter (delta-sized, loaded once, by ONE
     * Spark job on first use). None = too large for the driver budget. */
@@ -117,30 +146,63 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** Fetch-or-load blocks for (field, term) pairs; ONE Spark job for all
     * misses together (outside the lock). Callers must have df-gated the
     * pairs already. The returned map is built from hits + freshly fetched
-    * rows directly — correctness never depends on what survives the LRU. */
+    * rows directly — correctness never depends on what survives the LRU.
+    *
+    * Base and delta parts cache separately: after a snapshot reload the
+    * inherited base part is already hot, and only the (tiny) delta part
+    * of each term is fetched — pruned to `shard >= GenBase` so the scan
+    * skips every base segment file. */
   private def blocksFor(fts: Seq[(String, String)])
       : Map[(String, String), Array[SegmentBlock]] = {
-    val hits = termBlocks.synchronized {
-      fts.flatMap(ft => Option(termBlocks.get(ft)).map(ft -> _)).toMap
+    val genBase = graft.index.FtsDeltas.GenBase
+    val hasDeltas = idx.hasDeltas
+    val baseHits = baseBlocks.synchronized {
+      fts.flatMap(ft => Option(baseBlocks.get(ft)).map(ft -> _)).toMap
     }
-    val missing = fts.filterNot(hits.contains)
-    val fetched: Map[(String, String), Array[SegmentBlock]] =
-      if (missing.isEmpty) Map.empty
-      else {
-        val pred = FtsIndex.orAll(missing.map { case (f, t) =>
-          col("field") === f && col("term") === t
-        })
-        val got = idx.segments.where(pred).collect()
-          .groupBy(b => (b.field, b.term))
-          .view.mapValues(_.sortBy(b => (b.shard, b.first_doc))).toMap
-        val withEmpties = missing.map(ft =>
-          ft -> got.getOrElse(ft, Array.empty[SegmentBlock])).toMap
-        termBlocks.synchronized {
-          withEmpties.foreach { case (ft, bl) => termBlocks.put(ft, bl) }
-        }
-        withEmpties
+    val deltaHits: Map[(String, String), Array[SegmentBlock]] =
+      if (!hasDeltas) fts.map(_ -> Array.empty[SegmentBlock]).toMap
+      else deltaBlocks.synchronized {
+        fts.flatMap(ft => Option(deltaBlocks.get(ft)).map(ft -> _)).toMap
       }
-    hits ++ fetched
+    val fullMiss = fts.filterNot(baseHits.contains)
+    val deltaMiss =
+      fts.filter(ft => baseHits.contains(ft) && !deltaHits.contains(ft))
+    val (fetchedBase, fetchedDelta) =
+      if (fullMiss.isEmpty && deltaMiss.isEmpty)
+        (Map.empty[(String, String), Array[SegmentBlock]],
+          Map.empty[(String, String), Array[SegmentBlock]])
+      else {
+        val preds =
+          fullMiss.map { case (f, t) =>
+            col("field") === f && col("term") === t
+          } ++ deltaMiss.map { case (f, t) =>
+            col("field") === f && col("term") === t &&
+              col("shard") >= genBase
+          }
+        val got = idx.segments.where(FtsIndex.orAll(preds)).collect()
+          .groupBy(b => (b.field, b.term))
+        def part(ft: (String, String), delta: Boolean) =
+          got.getOrElse(ft, Array.empty[SegmentBlock])
+            .filter(b => (b.shard >= genBase) == delta)
+            .sortBy(b => (b.shard, b.first_doc))
+        val fb = fullMiss.map(ft => ft -> part(ft, delta = false)).toMap
+        val fd = (fullMiss ++ deltaMiss)
+          .map(ft => ft -> part(ft, delta = true)).toMap
+        baseBlocks.synchronized {
+          fb.foreach { case (ft, bl) => baseBlocks.put(ft, bl) }
+        }
+        if (hasDeltas) deltaBlocks.synchronized {
+          fd.foreach { case (ft, bl) => deltaBlocks.put(ft, bl) }
+        }
+        (fb, fd)
+      }
+    fts.map { ft =>
+      val b = baseHits.getOrElse(ft,
+        fetchedBase.getOrElse(ft, Array.empty[SegmentBlock]))
+      val d = deltaHits.getOrElse(ft,
+        fetchedDelta.getOrElse(ft, Array.empty[SegmentBlock]))
+      ft -> (if (d.isEmpty) b else b ++ d)
+    }.toMap
   }
 
   private def metaFor(ids: Seq[Long])
@@ -431,8 +493,14 @@ class FtsQueryCache(idx: FtsIndex, maxTerms: Int = 4096,
   /** Whether a term's posting blocks were ever collected to the driver
     * (the df-gate spec asserts this stays false for stopword-grade terms). */
   private[graft] def hasBlocksFor(field: String, term: String): Boolean =
-    termBlocks.synchronized(termBlocks.containsKey((field, term)))
+    baseBlocks.synchronized(baseBlocks.containsKey((field, term))) ||
+      deltaBlocks.synchronized(deltaBlocks.containsKey((field, term)))
 
   private[graft] def cachedTermCount: Int =
-    termBlocks.synchronized(termBlocks.size())
+    baseBlocks.synchronized(baseBlocks.size()) +
+      deltaBlocks.synchronized(deltaBlocks.size())
+
+  /** Whether this cache inherited the previous snapshot's immutable state
+    * (reload-without-cold-start spec hook). */
+  private[graft] def inheritedFromPrev: Boolean = prev.isDefined
 }

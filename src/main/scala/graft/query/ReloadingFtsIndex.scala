@@ -32,12 +32,19 @@ class ReloadingFtsIndex(spark: SparkSession, root: String,
       if (onDisk != cur.fingerprint) {
         val stale = cur
         cur = load()
-        cache = new FtsQueryCache(cur) // invalidate with the snapshot
+        // per-snapshot state (df, expansions, delta blocks, dead set)
+        // resets; immutable state (base blocks, doc rows) carries over
+        // when only the delta list moved — a microbatch append doesn't
+        // cold-start the warm path
+        cache = new FtsQueryCache(cur, inheritFrom = Some(cache))
         stale.cool()
       }
     }
     cur
   }
+
+  /** The current snapshot's driver cache (test hook). */
+  private[graft] def currentCache: FtsQueryCache = cache
 
   def search(q: FtsQuery): Dataset[SearchResult] = index.search(q)
   def searchCollected(q: FtsQuery): Seq[SearchResult] = index.searchCollected(q)

@@ -22,6 +22,14 @@ object DiscoveryQueries {
   private val OracleExcludeGlob = "**/src3/**"
   private val OracleMaxLen = 500L
 
+  /** Gitignore fixture for the oracle: an unanchored dir pattern, a
+    * rooted (leading-'/') pattern, a suffix glob, a `!` negation, plus a
+    * NESTED gitignore line prefixed with its directory — every semantic
+    * [[Discovery.gitignorePatterns]] implements. */
+  private val OracleGitignoreRoot =
+    "# vendored sources\nsrc2/\n/src/src4\n*.go\n!**/src7/*.go\n"
+  private val OracleGitignoreNested = "file_1*.js"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_discovery" -> ((s, d) =>
       corpus(s, d).where(
@@ -29,6 +37,15 @@ object DiscoveryQueries {
           Discovery.excludePathFilter(Nil, Seq(OracleExcludeGlob)) &&
           Discovery.sizeFilter(OracleMaxLen) && Discovery.textFilter)
         .select("doc_id", "path", "lang")),
+
+    "src_gitignore" -> ((s, d) => {
+      val (re, rn) = Discovery.gitignorePatterns(OracleGitignoreRoot)
+      val (ne, nn) =
+        Discovery.gitignorePatterns(OracleGitignoreNested, "src/src5")
+      corpus(s, d)
+        .where(Discovery.excludePathFilter(Nil, re ++ ne, rn ++ nn))
+        .select("doc_id", "path")
+    }),
 
     "src_deleted" -> ((s, d) => {
       val c = corpus(s, d)
@@ -105,6 +122,20 @@ object DiscoveryQueries {
            |  AND NOT regexp_matches(path, '$exclRegex')
            |  AND length(content) <= $OracleMaxLen
            |  AND NOT contains(substring(content, 1, 1024), chr(0))""".stripMargin,
+
+      // the oracle re-states the gitwildmatch semantics as hand-written
+      // DuckDB regexes (NOT PathGlob output): dir pattern at any depth,
+      // root-anchored pattern, suffix glob, nested-prefixed glob; the
+      // negation re-includes matching paths
+      "src_gitignore" ->
+        s"""WITH $base
+           |SELECT doc_id, path FROM corpus
+           |WHERE NOT (
+           |     regexp_matches(path, '(^|/)src2(/|$$)')
+           |  OR regexp_matches(path, '^src/src4(/|$$)')
+           |  OR regexp_matches(path, '(^|/)[^/]*\\.go$$')
+           |  OR regexp_matches(path, '^src/src5/file_1[^/]*\\.js$$')
+           |) OR regexp_matches(path, '(^|/)src7/[^/]*\\.go$$')""".stripMargin,
 
       "src_deleted" ->
         s"""WITH $base

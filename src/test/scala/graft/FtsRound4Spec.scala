@@ -207,6 +207,35 @@ class FtsRound4Spec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("snapshot reload after a delta append inherits base blocks and " +
+       "doc rows; a compact (new version dir) does not inherit") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val rel = new graft.query.ReloadingFtsIndex(spark, root)
+    val q = FtsQuery("authenticate", limit = 5)
+    assert(rel.searchCached(q).nonEmpty)
+    val c0 = rel.currentCache
+    assert(c0.hasBlocksFor("content", "authenticate"))
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/live_new.py", "n1" * 20, "python",
+        "def fresh(): return authenticate_user()", Nil))), root, cfg)
+    val r2 = rel.searchCached(q) // triggers the swap with inheritance
+    val c1 = rel.currentCache
+    assert(c1 ne c0)
+    assert(c1.inheritedFromPrev, "same version dir must inherit")
+    assert(c1.hasBlocksFor("content", "authenticate"),
+      "base posting blocks must survive the reload")
+    val ex = rel.index.searchCollected(q).map(keyOf)
+    assert(r2.map(keyOf).map(_._1) === ex.map(_._1),
+      "inherited-cache results must match the cluster path")
+    r2.map(keyOf).zip(ex).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) < 1e-9) }
+    // compact rewrites a fresh version dir: nothing may carry over
+    FtsDeltas.compact(spark, root, cfg)
+    assert(rel.searchCached(q).nonEmpty)
+    assert(!rel.currentCache.inheritedFromPrev,
+      "a new version dir must start a cold cache")
+  }
+
   test("publishGen refuses to publish over an existing generation dir " +
        "(no silent nesting, staged data survives)") {
     val root = TestSpark.tempDir("r4pub")
