@@ -136,10 +136,13 @@ object FtsDeltas {
     val vDir = currentDir(spark, root)
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val gen = nextGen(spark, vDir)
-    // stage the WHOLE generation under a name deltaDirs ignores, publish
-    // with one atomic rename: readers never see a torn half-generation
-    val tmpDir = s"$vDir/deltas/up.tmp.$gen"
-    hfs.delete(new Path(tmpDir), true)
+    // stage the WHOLE generation under a WRITER-UNIQUE name deltaDirs
+    // ignores, publish with one atomic rename: readers never see a torn
+    // half-generation, and two concurrent upserts can never interleave
+    // writes into one staging dir (whichever publishes d<gen> second
+    // fails loudly at the Rename.NONE below and cleans up its own stage)
+    val tmpDir =
+      s"$vDir/deltas/up.tmp.$gen.${java.util.UUID.randomUUID.toString.take(8)}"
     try {
       assignDeltaDocs(batch, gen, cfg)
         .write.mode("overwrite").parquet(s"$tmpDir/docs")
@@ -258,10 +261,10 @@ object FtsDeltas {
         if (a.isEmpty) None else Some(a)
       }
 
-    // stage the folded generation under a name deltaDirs ignores
-    val tmpName = s"fold.tmp.$gNew"
+    // stage the folded generation under a writer-unique name deltaDirs
+    // ignores (a concurrent fold/upsert must never share a staging dir)
+    val tmpName = s"fold.tmp.$gNew.${java.util.UUID.randomUUID.toString.take(8)}"
     val tmpDir = s"$vDir/deltas/$tmpName"
-    hfs.delete(new Path(tmpDir), true)
     alive.foreach { a =>
       val lineCols =
         if (a.columns.contains("line_start"))
@@ -283,7 +286,11 @@ object FtsDeltas {
     // FileSystem.rename would instead move the staged dir INSIDE the
     // existing destination and report success, and the deletes below
     // would then lose every delta since the last compact (ADVICE r03 #1)
-    publishGen(spark, tmpDir, s"$vDir/deltas/d$gNew")
+    try publishGen(spark, tmpDir, s"$vDir/deltas/d$gNew")
+    catch { case e: Throwable =>
+      hfs.delete(new Path(tmpDir), true) // deltas intact; fold is re-runnable
+      throw e
+    }
     // belt-and-braces: the published generation must be top-level complete
     // before anything is deleted
     require(hfs.exists(new Path(s"$vDir/deltas/d$gNew/tombstones")),

@@ -221,9 +221,13 @@ object Ann {
     ivfProbe(emb, cents, nQueries, k, nProbe)
   }
 
-  private def ivfProbe(emb: DataFrame, cents: DataFrame, nQueries: Int,
-                       k: Int, nProbe: Int): DataFrame = {
-    val assigned = emb.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment of every vector: a single min_by hash
+    * aggregate over the N x nCells scored rows (no window sort); ties
+    * break on the LOWER cell id via the (csim desc, cell asc) struct
+    * ordering — the contract the DuckDB oracle is pinned to. Shared by
+    * the probe plans here and the serving-side [[AnnIndex]]. */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("ce")).as("csim"))
       .groupBy("vec_id")
@@ -231,6 +235,10 @@ object Ann {
         struct(negate(col("csim")), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"),
         col("m.embedding").as("embedding"))
+
+  private def ivfProbe(emb: DataFrame, cents: DataFrame, nQueries: Int,
+                       k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignCells(emb, cents)
     val probeW = Window.partitionBy("query_id")
       .orderBy(desc("csim"), asc("cell"))
     val probes = emb.where(col("vec_id") < nQueries)

@@ -29,20 +29,15 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
   val centroids: Array[(Int, Array[Double])] =
     Ann.kmeansCentroids(emb, nCells, iters)
 
-  /** (vec_id, cell, embedding), cell-partitioned and persisted. */
+  /** (vec_id, cell, embedding), cell-partitioned and persisted — the same
+    * assignment relation (and tie-break contract) as [[Ann.assignCells]],
+    * which the `ann_ivf_topk` oracle pins. */
   val assigned: DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = broadcast(centroids.toSeq.toDF("cell", "ce0")
-      .select(col("cell"), col("ce0").as("ce")))
-    val a = emb.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        Ann.cosine(col("embedding"), col("ce")).as("csim"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cell"), col("embedding")),
-        struct(negate(col("csim")), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"),
-        col("m.embedding").as("embedding"))
+    val cents = centroids.toSeq.toDF("cell", "ce0")
+      .select(col("cell"), col("ce0").as("ce"))
+    val a = Ann.assignCells(emb, cents)
       .repartition(col("cell"))
       .persist()
     a.count() // materialize once

@@ -214,6 +214,22 @@ class FtsIndex(spark: SparkSession, root: String) {
       else { java.util.Arrays.sort(ids); Some(ids) }
   }
 
+  /** The dead set as a cluster broadcast — built ONCE per snapshot (the
+    * set is immutable; re-broadcasting per query would pay torrent
+    * distribution every time and leak blocks until the ContextCleaner
+    * runs) and destroyed by [[cool]] on snapshot retirement. */
+  @volatile private var deadBcCache
+      : Option[org.apache.spark.broadcast.Broadcast[Wand.DeadSet]] = null
+  private def deadBc
+      : Option[org.apache.spark.broadcast.Broadcast[Wand.DeadSet]] = {
+    if (deadBcCache == null) synchronized {
+      if (deadBcCache == null)
+        deadBcCache = deadDocs.filter(_.nonEmpty)
+          .map(ids => spark.sparkContext.broadcast(new Wand.DeadSet(ids)))
+    }
+    deadBcCache
+  }
+
   /** Cache the index relations across queries (the reference daemon's warm
     * index cache analog, server/cache/fts_index_cache.py). */
   def warm(): this.type = {
@@ -222,9 +238,12 @@ class FtsIndex(spark: SparkSession, root: String) {
     this
   }
 
-  /** Release relations persisted by [[warm]] (called on reload swap). */
+  /** Release relations persisted by [[warm]] (called on reload swap),
+    * plus the snapshot's dead-set broadcast if one was built. */
   def cool(): this.type = {
     docs.unpersist(); segments.unpersist(); dict.unpersist()
+    val bc = deadBcCache
+    if (bc != null) bc.foreach(_.destroy())
     this
   }
 
@@ -640,13 +659,13 @@ class FtsIndex(spark: SparkSession, root: String) {
     val avgdl = avgdlByField
 
     // the dead set rides Spark's torrent broadcast (it can reach tens of
-    // MB under heavy churn; the task closure should stay small)
-    val deadBc: Option[org.apache.spark.broadcast.Broadcast[Wand.DeadSet]] =
-      if (dead.isEmpty) None else Some(spark.sparkContext.broadcast(dead))
+    // MB under heavy churn; the task closure should stay small) — one
+    // broadcast per SNAPSHOT, shared by every query
+    val deadBcLocal = if (dead.isEmpty) None else deadBc
     val perShard = segments.where(pred)
       .groupByKey(_.shard)
       .flatMapGroups { (_: Int, it: Iterator[SegmentBlock]) =>
-        val dd = deadBc.map(_.value).getOrElse(Wand.DeadSet.empty)
+        val dd = deadBcLocal.map(_.value).getOrElse(Wand.DeadSet.empty)
         val byFt = it.toArray.groupBy(b => (b.field, b.term))
           .view.mapValues(_.sortBy(_.first_doc)).toMap
         val groups = groupSpec.map(_.flatMap { ft =>

@@ -80,15 +80,24 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
         size() > cap
     }
 
-  private val prev =
-    inheritFrom.filter(_.idx.versionDir == idx.versionDir)
+  /** ONLY the inherited map references are captured — never the previous
+    * cache object itself, which would pin its FtsIndex snapshot (dead
+    * set, delta blocks, plans) and recursively every predecessor across
+    * a long streaming session. */
+  private val inheritedState = inheritFrom
+    .filter(_.idx.versionDir == idx.versionDir)
+    .map(p => (p.baseBlocks, p.metaRows, p.contentRows))
+
+  /** Whether this cache inherited the previous snapshot's immutable state
+    * (reload-without-cold-start spec hook). */
+  private[graft] val inheritedFromPrev: Boolean = inheritedState.isDefined
 
   /** LRU (field, term) -> BASE posting blocks (shard < GenBase), sorted by
     * (shard, first_doc). Base segments are immutable for the lifetime of
     * a version dir — inherited across snapshot reloads. */
   private val baseBlocks
       : java.util.LinkedHashMap[(String, String), Array[SegmentBlock]] =
-    prev.map(_.baseBlocks)
+    inheritedState.map(_._1)
       .getOrElse(lru[(String, String), Array[SegmentBlock]](maxTerms))
 
   /** LRU (field, term) -> DELTA posting blocks (shard >= GenBase) of THIS
@@ -109,13 +118,13 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     * never reach these lookups — every scorer filters tombstones first. */
   private val metaRows
       : java.util.LinkedHashMap[Long, (String, String, String, Int)] =
-    prev.map(_.metaRows)
+    inheritedState.map(_._2)
       .getOrElse(lru[Long, (String, String, String, Int)](maxDocs * 4))
 
   /** LRU doc_id -> content — fetched only for FINAL top-k rows; immutable
     * per doc_id: inherited. */
   private val contentRows: java.util.LinkedHashMap[Long, String] =
-    prev.map(_.contentRows).getOrElse(lru[Long, String](maxDocs))
+    inheritedState.map(_._3).getOrElse(lru[Long, String](maxDocs))
 
   /** The snapshot's tombstone filter (delta-sized, loaded once, by ONE
     * Spark job on first use). None = too large for the driver budget. */
@@ -499,8 +508,4 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private[graft] def cachedTermCount: Int =
     baseBlocks.synchronized(baseBlocks.size()) +
       deltaBlocks.synchronized(deltaBlocks.size())
-
-  /** Whether this cache inherited the previous snapshot's immutable state
-    * (reload-without-cold-start spec hook). */
-  private[graft] def inheritedFromPrev: Boolean = prev.isDefined
 }

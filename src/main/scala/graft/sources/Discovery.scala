@@ -46,21 +46,25 @@ object Discovery {
 
   /** S3: exclude-dir / gitignore-style pattern filter. Patterns compile to
     * gitwildmatch regexes driver-side, composed as one rlike. `negGlobs`
-    * re-include (gitignore `!pattern` lines): a path is kept when it
-    * matches no exclude glob OR matches a negation. */
+    * re-include (gitignore `!pattern` lines) — but ONLY against the
+    * gitignore-derived `extraGlobs`: the engine's structural dir prunes
+    * (`dirs`) are unconditional, like the reference's built-in exclude
+    * set, and a repo's `!` line must never resurrect node_modules. */
   def excludePathFilter(
       dirs: Seq[String] = DefaultExcludeDirs,
       extraGlobs: Seq[String] = Nil,
       negGlobs: Seq[String] = Nil): Column = {
-    val globs = dirs.flatMap(d => Seq(s"$d/**", s"**/$d/**")) ++ extraGlobs
-    val keep = PathGlob.anyRegex(globs) match {
-      case Some(re) => !col("path").rlike(re)
-      case None => lit(true)
+    def keepOf(globs: Seq[String]): Column =
+      PathGlob.anyRegex(globs) match {
+        case Some(re) => !col("path").rlike(re)
+        case None => lit(true)
+      }
+    val keepDirs = keepOf(dirs.flatMap(d => Seq(s"$d/**", s"**/$d/**")))
+    val keepExtra = PathGlob.anyRegex(negGlobs) match {
+      case Some(neg) => keepOf(extraGlobs) || col("path").rlike(neg)
+      case None => keepOf(extraGlobs)
     }
-    PathGlob.anyRegex(negGlobs) match {
-      case Some(re) => keep || col("path").rlike(re)
-      case None => keep
-    }
+    keepDirs && keepExtra
   }
 
   /** Gitignore ingestion (reference: indexing/file_finder.py:112-149):

@@ -84,4 +84,18 @@ class GitignoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(kept === Set("src/app.py", "keep.log", "other/bundle/x.js"))
   }
+
+  test("a gitignore negation cannot resurrect a structurally excluded " +
+       "dir (defaults are unconditional, like the reference's skip set)") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      "node_modules/lib/index.js", "src/index.js", "dist/index.js")
+      .toDF("path")
+    val kept = files.where(Discovery.excludePathFilter(
+        extraGlobs = Seq("*.js"),
+        negGlobs = Seq("**/index.js"))) // re-includes .js — but NOT under
+      .collect().map(_.getString(0)).toSet // the pruned default dirs
+    assert(kept === Set("src/index.js"))
+  }
 }
