@@ -11,7 +11,9 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   * `i. path:line:col`).
   *
   * Usage:
-  *   graft.FtsCli index <sourceParquet> <indexDir>
+  *   graft.FtsCli index <sourceParquet> <indexDir> [--discover]
+  *     (--discover applies the reference FileFinder intake: extension
+  *      allow-list, dir prunes, repo .gitignore merge, size/binary sniff)
   *   graft.FtsCli query <indexDir> <text> [--case-sensitive] [--fuzzy N]
   *     [--regex] [--limit N] [--snippet-lines N] [--language L]...
   *     [--exclude-language L]... [--path-filter G]... [--exclude-path G]...
@@ -37,9 +39,26 @@ object FtsCli {
   }
 
   private def run(spark: SparkSession, args: List[String]): Unit = args match {
-    case "index" :: source :: indexDir :: Nil =>
-      val report = graft.index.FtsIndexBuilder.build(
-        spark, spark.read.parquet(source), indexDir)
+    case "index" :: source :: indexDir :: rest
+        if rest.isEmpty || rest == List("--discover") =>
+      // --discover mirrors the reference's `cidx index` intake: extension
+      // allow-list, structural dir prunes, repo .gitignore merge (root +
+      // one level), size cap, binary sniff (file_finder.py FileFinder)
+      val raw = spark.read.parquet(source)
+      val input =
+        if (rest.isEmpty) raw
+        else {
+          import graft.sources.Discovery
+          val (gExcl, gNeg) = Discovery.gitignoreGlobs(raw)
+          val kept = raw.where(
+            Discovery.extensionFilter() &&
+              Discovery.excludePathFilter(extraGlobs = gExcl, negGlobs = gNeg) &&
+              Discovery.sizeFilter() && Discovery.textFilter)
+          println(s"Discovery: ${gExcl.size} gitignore patterns " +
+            s"(${gNeg.size} negations) merged into the exclude spec")
+          kept
+        }
+      val report = graft.index.FtsIndexBuilder.build(spark, input, indexDir)
       println(s"Indexed ${report.nDocs} documents into $indexDir " +
         s"(${report.version}, shards built: ${report.shardsBuilt.size}, " +
         s"skipped: ${report.shardsSkipped.size})")

@@ -9,8 +9,8 @@ import graft.index.FtsSchema._
   * index analog (daemon/cache.py:82-383 "5-50x speedup for repeated
   * queries"; server/cache/fts_index_cache.py TTL/size-bounded cache). The
   * reference serves EVERY query shape from that warm cache; this layer
-  * does the same for exact, fuzzy, regex, phrase and language/path-filtered
-  * queries (line-range filters go to the cluster path).
+  * does the same for exact, fuzzy, regex, phrase, language/path-filtered
+  * AND line-range-filtered queries — every reference query shape.
   *
   * The cluster-side [[FtsIndex]] is the source of truth; this layer keeps
   * LRUs of QUERY-TOUCHED state on the driver:
@@ -112,14 +112,15 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     * delta can add dictionary terms that match a pattern). */
   private val expansions = lru[FieldQ, Seq[TermQ]](256)
 
-  /** LRU doc_id -> (repo, path, lang, line_start) — the filter columns
-    * plus the chunk line offset (1 for whole-file docs). Rows are
+  /** LRU doc_id -> (repo, path, lang, line_start, line_end) — the filter
+    * columns plus the chunk line range (1 / Long.MaxValue for whole-file
+    * docs, so the line-overlap checks hold uniformly). Rows are
     * immutable per doc_id (ids are never reused): inherited. Dead docs
     * never reach these lookups — every scorer filters tombstones first. */
   private val metaRows
-      : java.util.LinkedHashMap[Long, (String, String, String, Int)] =
+      : java.util.LinkedHashMap[Long, (String, String, String, Int, Long)] =
     inheritedState.map(_._2)
-      .getOrElse(lru[Long, (String, String, String, Int)](maxDocs * 4))
+      .getOrElse(lru[Long, (String, String, String, Int, Long)](maxDocs * 4))
 
   /** LRU doc_id -> content — fetched only for FINAL top-k rows; immutable
     * per doc_id: inherited. */
@@ -215,22 +216,26 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   }
 
   private def metaFor(ids: Seq[Long])
-      : Map[Long, (String, String, String, Int)] = {
+      : Map[Long, (String, String, String, Int, Long)] = {
     val hits = metaRows.synchronized {
       ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
     }
     val missing = ids.filterNot(hits.contains)
     if (missing.isEmpty) return hits
     val docs = idx.effectiveDocs
+    val chunked = docs.columns.contains("line_start")
     val lsCol =
-      if (docs.columns.contains("line_start"))
-        coalesce(col("line_start"), lit(1)).cast("int")
+      if (chunked) coalesce(col("line_start"), lit(1)).cast("int")
       else lit(1)
+    val leCol =
+      if (chunked) coalesce(col("line_end"), lit(Long.MaxValue)).cast("long")
+      else lit(Long.MaxValue)
     val got = docs.where(col("doc_id").isin(missing: _*))
       .select(col("doc_id"), col("repo"), col("path"), col("lang"),
-        lsCol.as("ls")).collect()
+        lsCol.as("ls"), leCol.as("le")).collect()
       .map(r => r.getLong(0) ->
-        (r.getString(1), r.getString(2), r.getString(3), r.getInt(4))).toMap
+        (r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+          r.getLong(5))).toMap
     metaRows.synchronized {
       got.foreach { case (id, row) => metaRows.put(id, row) }
     }
@@ -284,13 +289,15 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     }
   }
 
-  /** The reference's post-filter precedence (Q5-Q8), driver-side mirror of
-    * FtsIndex.search's filtered branch (incl. the facet-vs-extension
-    * expansion quirk). */
+  /** The reference's post-filter precedence (Q5-Q8) plus the chunk
+    * line-range overlap (Q9 note), driver-side mirror of FtsIndex.search's
+    * filtered branch (incl. the facet-vs-extension expansion quirk).
+    * Whole-file docs carry (ls=1, le=Long.MaxValue), making the overlap
+    * checks uniform. */
   private def passesFilters(q: FtsQuery, lang: String,
                             pathMatch: String => Boolean,
                             pathExcl: String => Boolean,
-                            path: String): Boolean = {
+                            path: String, ls: Int, le: Long): Boolean = {
     if (q.excludeLanguages.nonEmpty) {
       val excl = LanguageMap.extensions(q.excludeLanguages)
       if (excl.contains(lang)) return false
@@ -300,6 +307,8 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       return false
     if (q.excludePathFilters.nonEmpty && pathExcl(path)) return false
     if (q.pathFilters.nonEmpty && !pathMatch(path)) return false
+    if (q.minLine.exists(m => le < m)) return false
+    if (q.maxLine.exists(m => ls > m)) return false
     true
   }
 
@@ -308,8 +317,6 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     * further) whenever a shape or budget rules the driver path out. */
   def search(q: FtsQuery): Seq[SearchResult] = {
     idx.validate(q)
-    if (q.minLine.isDefined || q.maxLine.isDefined)
-      return idx.searchWand(q)
     // live deltas: keep serving warm, filtering tombstoned docs out of
     // every scorer below; only an oversized dead set leaves the driver
     val dead: Wand.DeadSet = deadSet match {
@@ -374,8 +381,8 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
           val (cands, exhausted) = pullTopK(kk)
           val meta = metaFor(cands.map(_.doc))
           val kept = cands.filter { s =>
-            meta.get(s.doc).exists { case (_, path, lang, _) =>
-              passesFilters(q, lang, pathMatch, pathExcl, path)
+            meta.get(s.doc).exists { case (_, path, lang, ls, le) =>
+              passesFilters(q, lang, pathMatch, pathExcl, path, ls, le)
             }
           }
           if (kept.size >= k || exhausted) out = Some(kept.take(k))
@@ -389,7 +396,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     val meta = metaFor(top.map(_.doc))
     val content = contentFor(top.map(_.doc))
     top.flatMap { s =>
-      meta.get(s.doc).map { case (repo, path, lang, ls) =>
+      meta.get(s.doc).map { case (repo, path, lang, ls, _) =>
         val c = content.getOrElse(s.doc, "")
         val m =
           if (q.useRegex) {

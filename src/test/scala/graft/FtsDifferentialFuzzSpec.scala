@@ -87,8 +87,53 @@ class FtsDifferentialFuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 10, s"only $nonEmpty of ${queries.size} queries matched")
   }
 
+  test("delta churn fuzz: upserts, deletes and folds between query " +
+       "batteries; three-way parity holds with live generations") {
+    val docs = (0 until 30).map(randDoc)
+    val root = TestSpark.tempDir("fuzzdelta")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, cfg)
+    val rel = new graft.query.ReloadingFtsIndex(spark, root)
+    var nextId = 100
+    var nonEmpty = 0
+    (1 to 4).foreach { round =>
+      rng.nextInt(3) match {
+        case 0 => // mix of fresh docs and a replacement of an existing path
+          val fresh = (0 until 1 + rng.nextInt(2)).map { _ =>
+            nextId += 1; randDoc(nextId)
+          }
+          val replaced = randDoc(rng.nextInt(30)) // same path, new content
+          graft.index.FtsDeltas.upsert(spark,
+            TestSpark.docsDf(fresh :+ replaced), root, cfg)
+        case 1 => // delete one (possibly already-replaced) path
+          graft.index.FtsDeltas.delete(spark,
+            TestSpark.docsDf(Seq(randDoc(rng.nextInt(30))))
+              .select("repo", "path"), root)
+        case _ => // tiered fold (no-op when <2 generations live)
+          graft.index.FtsDeltas.fold(spark, root, cfg)
+      }
+      val idx = rel.index // fresh snapshot over the new generation list
+      (0 until 6).foreach { _ =>
+        val q = randQuery()
+        val ex = idx.searchCollected(q).map(r => (r.doc_id, r.score))
+        val wand = idx.searchWand(q).map(r => (r.doc_id, r.score))
+        val cached = rel.searchCached(q).map(r => (r.doc_id, r.score))
+        if (ex.nonEmpty) nonEmpty += 1
+        assert(wand.map(_._1) === ex.map(_._1),
+          s"WAND docs for $q at churn round $round")
+        assert(cached.map(_._1) === ex.map(_._1),
+          s"cached docs for $q at churn round $round")
+        wand.zip(ex).foreach { case (a, b) =>
+          assert(math.abs(a._2 - b._2) < 1e-8, s"WAND score for $q") }
+        cached.zip(ex).foreach { case (a, b) =>
+          assert(math.abs(a._2 - b._2) < 1e-8, s"cached score for $q") }
+      }
+    }
+    assert(nonEmpty >= 8, s"battery matched only $nonEmpty queries")
+  }
+
   test("chunk-granularity corpus with line-range filters: three-way parity " +
-       "(WAND/cached fall back to the cluster path and stay identical)") {
+       "(the cache serves limit>0 line filters WARM; limit=0 and WAND " +
+       "route to the cluster and stay identical)") {
     val docs = (0 until 12).map { i =>
       val lines = (1 to 20 + rng.nextInt(30)).map(_ =>
         Seq.fill(4)(vocab(rng.nextInt(vocab.size))).mkString(" "))

@@ -144,6 +144,37 @@ class FtsRound4Spec extends AnyFunSuite {
     assert(rs.forall(_.path.startsWith("src/")))
   }
 
+  test("line-range filters serve from the warm cache: identical to the " +
+       "cluster path, zero Spark jobs when hot") {
+    val docs = (0 until 8).map { i =>
+      val lines = (1 to 40).map(l => s"line_$l token_w$i quintet value")
+      Fixtures.Doc("test_repo", s"src/lines_$i.py", i.toString * 40, "py",
+        lines.mkString("\n"), Nil)
+    }
+    val chunked = graft.sources.ChunkedIngest.explode(
+      TestSpark.docsDf(docs).drop("identifiers"), chunkSize = 300)
+    val root = TestSpark.tempDir("r4line")
+    FtsIndexBuilder.build(spark, chunked, root, cfg)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new FtsQueryCache(idx)
+    val qs = Seq(
+      FtsQuery("quintet", limit = 5, minLine = Some(10L)),
+      FtsQuery("quintet", limit = 5, maxLine = Some(20L)),
+      FtsQuery("quintet", limit = 5, minLine = Some(5L), maxLine = Some(30L)))
+    for (q <- qs) {
+      val ex = idx.searchCollected(q).map(keyOf)
+      val c = cache.search(q).map(keyOf)
+      assert(ex.nonEmpty, s"line query should match: $q")
+      assert(c === ex, s"warm line-filtered results for $q")
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    qs.foreach(q => assert(cache.search(q).nonEmpty))
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      "hot line-filtered cached queries must run zero Spark jobs")
+  }
+
   test("filtered limit=0 routes to the cluster before any overpull " +
        "(maxOverpull contract honored up front)") {
     val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
