@@ -22,6 +22,20 @@ object OpsQueries {
     }),
     "dd_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(docs(s, d), maxDist = 3)),
+    // embedding-cosine near-dups via multi-band RH-LSH: the fixture has no
+    // natural near pairs (max pairwise cosine ~0.51), so the contract
+    // query plants them — a float-scaled copy of each of the first 20
+    // vectors (scaling preserves every hyperplane sign, and a single
+    // float multiply is exact through double arithmetic, so the DuckDB
+    // twin reproduces the buckets and sims bit-exactly)
+    "dd_embedding_neardups" -> ((s, d) => {
+      val e = emb(s, d)
+      val dup = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingNearDups(e.unionByName(dup), threshold = 0.9)
+    }),
     "ta_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
     "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
@@ -109,6 +123,40 @@ object OpsOracle {
   private def planeList(p: Int): String =
     Ann.signMatrix(p).map(v => if (v > 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]")
+
+  /** Same, from the first-n sign matrix (multi-band LSH twin). */
+  private def planeListN(m: Array[Array[Double]], p: Int): String =
+    m(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[Dedup.embeddingNearDups]] over the planted-dup
+    * input: 4 bands x 6 planes band keys, equi-join on (band, bkey),
+    * cosine >= 0.9 on rounded sims. */
+  private val ddEmbeddingSql: String = {
+    val nBands = 4; val ppb = 6
+    val m = Ann.signMatrixN(nBands * ppb)
+    val bandSelects = (0 until nBands).map { q =>
+      val bits = (0 until ppb).map { j =>
+        s"(CASE WHEN list_dot_product(de, ${planeListN(m, q * ppb + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, de, $q AS q, ($bits) AS qv FROM aug"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH aug AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000,
+       |    CAST(list_transform(CAST(embedding AS REAL[]),
+       |      x -> CAST(x * CAST(1.01 AS REAL) AS REAL)) AS DOUBLE[])
+       |  FROM embeddings WHERE vec_id < 20
+       |),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       |  round(${cosSql("l.de", "r.de")}, 4) AS sim
+       |FROM bands l JOIN bands r ON l.q = r.q AND l.qv = r.qv
+       |  AND l.vec_id < r.vec_id
+       |WHERE round(${cosSql("l.de", "r.de")}, 4) >= 0.9""".stripMargin
+  }
 
   private val bucketExpr: String =
     (0 until Ann.NumPlanes).map { p =>
@@ -302,6 +350,7 @@ object OpsOracle {
     "mm_audio_features" -> mmAudioSql,
     "mm_video_features" -> mmVideoSql,
     "dd_simhash_neardups" -> simhashSql(3),
+    "dd_embedding_neardups" -> ddEmbeddingSql,
 
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
