@@ -338,6 +338,27 @@ object Bench {
         qtimes("q_cached_delta") = medians(medians.size / 2)
         idxD.cool()
       }
+
+      // semantic serving (the hybrid query's ANN half): prebuilt IVF
+      // index; per query = driver-side probe pick + ONE job over the
+      // probed cells (reference target: ~20 ms HNSW, query-guide.md:76)
+      {
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val ann = new graft.ops.AnnIndex(emb, nCells = 64, nProbe = 8)
+        val qvs = emb.where(col("vec_id") < 5).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        qvs.foreach(ann.topK(_, 10)) // warm the codegen/plan caches
+        val ts = (0 until reps)
+          .flatMap(_ => qvs.map(qv => timeS(ann.topK(qv, 10))._2)).sorted
+        qtimes("q_semantic_ivf_p50") = ts(ts.size / 2)
+        // the daemon-analog warm path: cells cached driver-side
+        qvs.foreach(ann.topKWarm(_, 10))
+        val tw = (0 until reps)
+          .flatMap(_ => qvs.map(qv => timeS(ann.topKWarm(qv, 10))._2)).sorted
+        qtimes("q_semantic_warm_p50") = tw(tw.size / 2)
+        ann.close()
+      }
     } finally if (spark != null) spark.stop()
 
     qtimes(s"build_n$n1") = secN

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * stays available as the correctness/contract mode.
   */
 class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
-               iters: Int = 5) {
+               iters: Int = 5,
+               /** partitions of the persisted assignment — small keeps
+                 * per-query task-scheduling overhead low on the serving
+                 * path; at cluster scale the bucketed table layout
+                 * governs instead. */
+               numPartitions: Int = 8) {
 
   /** Seeded k-means cell centroids (cell id -> centroid), driver-held. */
   val centroids: Array[(Int, Array[Double])] =
@@ -38,7 +43,7 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     val cents = centroids.toSeq.toDF("cell", "ce0")
       .select(col("cell"), col("ce0").as("ce"))
     val a = Ann.assignCells(emb, cents)
-      .repartition(col("cell"))
+      .repartition(numPartitions, col("cell"))
       .persist()
     a.count() // materialize once
     a
@@ -52,6 +57,8 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  import AnnIndex.simOf
+
   /** The query's nProbe nearest cells (ties -> lower cell id); pure
     * driver math over the centroid array. */
   def probeCells(queryVec: Array[Float]): Seq[Int] = {
@@ -63,13 +70,20 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
 
   /** Approximate cosine top-k of a query vector: ONE pruned job over the
     * probed cells (similarity rounded to 4 decimals, ordering and
-    * self-inclusion identical to the exact contract scan). */
+    * self-inclusion identical to the exact contract scan).
+    *
+    * The query vector rides a closure-captured scorer, NOT a literal
+    * array column: a fresh 64-element literal changes the generated
+    * wholestage source every query, forcing a ~50 ms Janino recompile —
+    * with a stable plan source, repeated queries hit the codegen cache
+    * and pay only the pruned scan. The same double-from-float math and
+    * HALF_UP rounding as [[Ann.cosine]] + `round(_, 4)`. */
   def topK(queryVec: Array[Float], k: Int): Seq[(Long, Double)] = {
     val cells = probeCells(queryVec)
-    val qLit = array(queryVec.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+    val q = queryVec.map(_.toDouble)
+    val simU = udf((e: Seq[Float]) => simOf(q, e))
     assigned.where(col("cell").isin(cells: _*))
-      .select(col("vec_id"),
-        round(Ann.cosine(qLit, col("embedding")), 4).as("sim"))
+      .select(col("vec_id"), simU(col("embedding")).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .collect()
@@ -77,6 +91,72 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
       .toSeq
   }
 
+  /** Driver-side LRU of per-cell vector lists — the warm-cache analog of
+    * [[graft.query.FtsQueryCache]] for the semantic half: a probed cell's
+    * vectors are collected ONCE by a pruned job; hot queries then score
+    * entirely on the driver (zero Spark jobs, sub-millisecond). Bounded
+    * by `maxCachedCells` cells; at 10^9-vector scale (cells too big for
+    * the driver) serve through the cluster path [[topK]] instead. */
+  private val maxCachedCells = 64
+  private val cellVectors =
+    new java.util.LinkedHashMap[Int, Array[(Long, Array[Float])]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, Array[(Long, Array[Float])]]): Boolean =
+        size() > maxCachedCells
+    }
+
+  /** Warm approximate top-k: identical results to [[topK]] (same probe
+    * set, same double-from-float cosine, same HALF_UP rounding and
+    * (sim desc, vec_id asc) order), served from the driver cell cache —
+    * ONE pruned job per cold cell, zero jobs when hot. */
+  def topKWarm(queryVec: Array[Float], k: Int): Seq[(Long, Double)] = {
+    val cells = probeCells(queryVec)
+    val hits = cellVectors.synchronized {
+      cells.flatMap(c => Option(cellVectors.get(c)).map(c -> _)).toMap
+    }
+    val missing = cells.filterNot(hits.contains)
+    val fetched: Map[Int, Array[(Long, Array[Float])]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val got = assigned.where(col("cell").isin(missing: _*))
+          .select(col("cell"), col("vec_id"), col("embedding")).collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues(_.map(r =>
+            (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1)).toMap
+        val withEmpties = missing.map(c =>
+          c -> got.getOrElse(c, Array.empty[(Long, Array[Float])])).toMap
+        cellVectors.synchronized {
+          withEmpties.foreach { case (c, v) => cellVectors.put(c, v) }
+        }
+        withEmpties
+      }
+    val q = queryVec.map(_.toDouble)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    cells.foreach { c =>
+      (hits.get(c) orElse fetched.get(c)).foreach(_.foreach {
+        case (id, e) => out += ((id, simOf(q, e)))
+      })
+    }
+    out.sortBy { case (id, sim) => (-sim, id) }.take(k).toSeq
+  }
+
   /** Release the persisted assignment relation. */
   def close(): Unit = { assigned.unpersist(); () }
+}
+
+object AnnIndex {
+  /** Rounded query-vs-stored similarity — the ONE definition both serving
+    * paths share: double math from float elements, HALF_UP to 4 decimals,
+    * matching [[Ann.cosine]] + `round(_, 4)`. Static so UDF closures
+    * capture only the query array, never the (non-serializable) index. */
+  private def simOf(q: Array[Double], e: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < q.length) {
+      val x = q(i); val y = e(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }

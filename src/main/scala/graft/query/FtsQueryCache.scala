@@ -127,6 +127,16 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private val contentRows: java.util.LinkedHashMap[Long, String] =
     inheritedState.map(_._3).getOrElse(lru[Long, String](maxDocs))
 
+  /** LRU (field, term) -> fully DECODED postings (doc -> tf/dl/positions)
+    * for the phrase scorer: hot phrase queries skip the per-query varint +
+    * position decode, which dominates warm phrase latency when the phrase
+    * terms are stopword-grade. Entries are df-gated by construction (the
+    * caller only reaches the phrase path through the df budgets); decoded
+    * positions are ~3x the compressed bytes, so the cap stays small.
+    * Per-snapshot (delta blocks are merged into the decode). */
+  private val decodedFts =
+    lru[(String, String), Map[Long, (Long, Long, Array[Int])]](64)
+
   /** The snapshot's tombstone filter (delta-sized, loaded once, by ONE
     * Spark job on first use). None = too large for the driver budget. */
   private lazy val deadSet: Option[Wand.DeadSet] =
@@ -460,22 +470,28 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       : Seq[Wand.Scored] = {
     import graft.index.Codec
     // decode each (field, term)'s postings into doc -> (tf, dl, positions)
+    // (or reuse the LRU'd decode — identical by determinism of the codec)
     val byFt: Map[(String, String), Map[Long, (Long, Long, Array[Int])]] =
       blocks.map { case (ft, bls) =>
-        val m = scala.collection.mutable.LongMap
-          .empty[(Long, Long, Array[Int])]
-        bls.foreach { b =>
-          val docs = Codec.decodeDeltas(b.doc_bytes, b.n)
-          val tfs = Codec.decodeVarints(b.tf_bytes, b.n)
-          val dls = Codec.decodeVarints(b.dl_bytes, b.n)
-          val pr = new Codec.VarIntReader(b.pos_bytes)
-          var i = 0
-          while (i < b.n) {
-            m.put(docs(i), (tfs(i), dls(i), pr.readDeltaList(tfs(i).toInt)))
-            i += 1
+        val cached = decodedFts.synchronized(Option(decodedFts.get(ft)))
+        ft -> cached.getOrElse {
+          val m = scala.collection.mutable.LongMap
+            .empty[(Long, Long, Array[Int])]
+          bls.foreach { b =>
+            val docs = Codec.decodeDeltas(b.doc_bytes, b.n)
+            val tfs = Codec.decodeVarints(b.tf_bytes, b.n)
+            val dls = Codec.decodeVarints(b.dl_bytes, b.n)
+            val pr = new Codec.VarIntReader(b.pos_bytes)
+            var i = 0
+            while (i < b.n) {
+              m.put(docs(i), (tfs(i), dls(i), pr.readDeltaList(tfs(i).toInt)))
+              i += 1
+            }
           }
+          val im = m.toMap
+          decodedFts.synchronized(decodedFts.put(ft, im))
+          im
         }
-        ft -> m.toMap
       }
     def altDocs(a: FieldQ): Set[Long] = a match {
       case TermQ(f, t) => byFt.getOrElse((f, t), Map.empty).keySet

@@ -35,14 +35,18 @@ object Hybrid {
              q: FtsQuery, kSemantic: Int = 10): HybridResults =
     runBoth(idx, q, semanticTopK(emb, queryVec, kSemantic))
 
-  /** Production hybrid: the semantic half probes a prebuilt IVF index —
-    * per query, driver-side probe selection + ONE job over the probed
-    * cells (the reference's ~20 ms HNSW analog, docs/query-guide.md:76),
-    * instead of a full scan of the embeddings table. */
+  /** Production hybrid: the semantic half probes a prebuilt IVF index
+    * through its warm cell cache — driver-side probe selection, one
+    * pruned job per COLD cell, zero jobs hot (the reference's ~20 ms
+    * HNSW analog, docs/query-guide.md:76) — instead of a full scan of
+    * the embeddings table. [[graft.ops.AnnIndex.topK]] is the same
+    * plan kept on the cluster for vector sets too large to cache cells
+    * driver-side. */
   def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
              q: FtsQuery, kSemantic: Int): HybridResults =
     runBoth(idx, q,
-      ann.topK(queryVec, kSemantic).map { case (id, s) => SemanticHit(id, s) })
+      ann.topKWarm(queryVec, kSemantic)
+        .map { case (id, s) => SemanticHit(id, s) })
 
   private def runBoth(idx: FtsIndex, q: FtsQuery,
                       semantic: => Seq[SemanticHit]): HybridResults = {

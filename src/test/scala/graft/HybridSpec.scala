@@ -46,6 +46,10 @@ class HybridSpec extends AnyFunSuite {
       val recalls = queries.map { case (_, qv) =>
         val exact = Hybrid.semanticTopK(emb, qv, 10).map(_.vec_id).toSet
         val ivf = ann.topK(qv, 10).map(_._1).toSet
+        // warm (driver cell cache) path must return exactly the cluster
+        // path's results — same probes, same math, same ordering
+        assert(ann.topKWarm(qv, 10) === ann.topK(qv, 10),
+          "warm ANN path diverged from the cluster path")
         (exact intersect ivf).size / 10.0
       }
       val mean = recalls.sum / recalls.length
