@@ -49,13 +49,17 @@ object FtsCli {
         if (rest.isEmpty) raw
         else {
           import graft.sources.Discovery
-          val (gExcl, gNeg) = Discovery.gitignoreGlobs(raw)
+          // per-repo gitignore composition: repo A's rules never filter
+          // repo B's files
+          val byRepo = Discovery.gitignoreGlobsByRepo(raw)
           val kept = raw.where(
             Discovery.extensionFilter() &&
-              Discovery.excludePathFilter(extraGlobs = gExcl, negGlobs = gNeg) &&
+              Discovery.gitignoreExcludeFilter(raw) &&
               Discovery.sizeFilter() && Discovery.textFilter)
-          println(s"Discovery: ${gExcl.size} gitignore patterns " +
-            s"(${gNeg.size} negations) merged into the exclude spec")
+          println(s"Discovery: gitignore rules from ${byRepo.size} repo(s) " +
+            s"(${byRepo.valuesIterator.map(_._1.size).sum} patterns, " +
+            s"${byRepo.valuesIterator.map(_._2.size).sum} negations) " +
+            "merged per-repo into the exclude spec")
           kept
         }
       val report = graft.index.FtsIndexBuilder.build(spark, input, indexDir)

@@ -34,7 +34,10 @@ object Ann {
   final val NumPlanes = 8
   final val Dim = 64
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double.
+    * A zero-norm input yields NaN (undefined similarity) — guarded
+    * explicitly because ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO
+    * instead of following IEEE semantics. */
   def cosine(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
     val da = d(a); val db = d(b)
@@ -44,7 +47,8 @@ object Ann {
       lit(0.0), (acc, v) => acc + v))
     val nb = sqrt(aggregate(zip_with(db, db, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    val denom = na * nb
+    when(denom === lit(0.0), lit(Double.NaN)).otherwise(dot / denom)
   }
 
   /** Exact top-k neighbors for queries (vec_id < nQueries), self excluded.

@@ -28,7 +28,14 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
                  * per-query task-scheduling overhead low on the serving
                  * path; at cluster scale the bucketed table layout
                  * governs instead. */
-               numPartitions: Int = 8) {
+               numPartitions: Int = 8,
+               /** cap on driver-cached cells for [[topKWarm]]; memory is
+                 * bounded by maxCachedCells x (vectors per cell) x dim
+                 * floats — size it to the driver heap, or set 0 to
+                 * disable the warm path entirely (every [[topKWarm]]
+                 * call then scores through a fresh fetch; at 10^9-vector
+                 * scale prefer [[topK]], the cluster path). */
+               maxCachedCells: Int = 64) {
 
   /** Seeded k-means cell centroids (cell id -> centroid), driver-held. */
   val centroids: Array[(Int, Array[Double])] =
@@ -84,6 +91,10 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     val simU = udf((e: Seq[Float]) => simOf(q, e))
     assigned.where(col("cell").isin(cells: _*))
       .select(col("vec_id"), simU(col("embedding")).as("sim"))
+      // undefined similarity (zero-norm vectors) is excluded on BOTH
+      // serving paths — Spark orders NaN first under desc, the driver
+      // sort last; dropping keeps them rank-identical
+      .where(!isnan(col("sim")))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .collect()
@@ -97,14 +108,8 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     * entirely on the driver (zero Spark jobs, sub-millisecond). Bounded
     * by `maxCachedCells` cells; at 10^9-vector scale (cells too big for
     * the driver) serve through the cluster path [[topK]] instead. */
-  private val maxCachedCells = 64
   private val cellVectors =
-    new java.util.LinkedHashMap[Int, Array[(Long, Array[Float])]](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, Array[(Long, Array[Float])]]): Boolean =
-        size() > maxCachedCells
-    }
+    graft.util.Lru[Int, Array[(Long, Array[Float])]](maxCachedCells)
 
   /** Warm approximate top-k: identical results to [[topK]] (same probe
     * set, same double-from-float cosine, same HALF_UP rounding and
@@ -135,14 +140,20 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     cells.foreach { c =>
       (hits.get(c) orElse fetched.get(c)).foreach(_.foreach {
-        case (id, e) => out += ((id, simOf(q, e)))
+        case (id, e) =>
+          val sim = simOf(q, e)
+          if (!java.lang.Double.isNaN(sim)) out += ((id, sim))
       })
     }
     out.sortBy { case (id, sim) => (-sim, id) }.take(k).toSeq
   }
 
-  /** Release the persisted assignment relation. */
-  def close(): Unit = { assigned.unpersist(); () }
+  /** Release the persisted assignment relation and the driver cell
+    * cache. */
+  def close(): Unit = {
+    assigned.unpersist()
+    cellVectors.synchronized(cellVectors.clear())
+  }
 }
 
 object AnnIndex {
@@ -156,7 +167,10 @@ object AnnIndex {
       val x = q(i); val y = e(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    // a zero-norm vector (or query) yields 0/0: pass NaN through like
+    // Spark's round() would — BigDecimal(NaN) throws
+    if (java.lang.Double.isNaN(c)) Double.NaN
+    else BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 }

@@ -74,11 +74,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
                     inheritFrom: Option[FtsQueryCache] = None) {
   import FtsIndex._
 
-  private def lru[K, V](cap: Int) =
-    new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > cap
-    }
+  private def lru[K, V](cap: Int) = graft.util.Lru[K, V](cap)
 
   /** ONLY the inherited map references are captured — never the previous
     * cache object itself, which would pin its FtsIndex snapshot (dead

@@ -44,9 +44,21 @@ object Hybrid {
     * driver-side. */
   def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
              q: FtsQuery, kSemantic: Int): HybridResults =
-    runBoth(idx, q,
-      ann.topKWarm(queryVec, kSemantic)
-        .map { case (id, s) => SemanticHit(id, s) })
+    search(idx, ann, queryVec, q, kSemantic, warmSemantic = true)
+
+  /** As above, choosing the semantic serving path explicitly:
+    * `warmSemantic = false` scores the probed cells on the cluster
+    * ([[graft.ops.AnnIndex.topK]]) instead of the driver cell cache —
+    * for vector sets whose cells exceed the driver budget. */
+  def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
+             q: FtsQuery, kSemantic: Int,
+             warmSemantic: Boolean): HybridResults =
+    runBoth(idx, q, {
+      val hits =
+        if (warmSemantic) ann.topKWarm(queryVec, kSemantic)
+        else ann.topK(queryVec, kSemantic)
+      hits.map { case (id, s) => SemanticHit(id, s) }
+    })
 
   private def runBoth(idx: FtsIndex, q: FtsQuery,
                       semantic: => Seq[SemanticHit]): HybridResults = {

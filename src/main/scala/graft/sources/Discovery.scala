@@ -90,11 +90,44 @@ object Discovery {
     (excls, negs.map(_.drop(1)))
   }
 
-  /** Collect every applicable .gitignore from a single-repo file table
-    * (root + one directory level, like the reference) and fold them into
-    * one (excludes, negations) pair for [[excludePathFilter]]. The
-    * gitignore rows themselves are a handful of driver-collected files —
+  /** Per-repo gitignore collection for MULTI-repo tables: each repo's
+    * rules apply only to its own paths (the reference indexes one
+    * codebase at a time — rules must never leak across repos). The
+    * gitignore rows are a handful of driver-collected files per repo,
     * never corpus-sized. */
+  def gitignoreGlobsByRepo(files: DataFrame)
+      : Map[String, (Seq[String], Seq[String])] = {
+    val skip = Set(".git", "__pycache__", ".mypy_cache", "node_modules")
+    val rows = files
+      .where(col("path") === ".gitignore" ||
+        col("path").rlike("^[^/]+/\\.gitignore$"))
+      .select("repo", "path", "content").collect()
+      .filterNot(r => skip.exists(d => r.getString(1).startsWith(d + "/")))
+      .sortBy(r => (r.getString(0), r.getString(1).length))
+    rows.toSeq.groupBy(_.getString(0)).map { case (repo, rs) =>
+      val parsed = rs.map { r =>
+        val p = r.getString(1)
+        val base = if (p == ".gitignore") "" else p.stripSuffix("/.gitignore")
+        gitignorePatterns(r.getString(2), base)
+      }
+      repo -> ((parsed.flatMap(_._1), parsed.flatMap(_._2)))
+    }
+  }
+
+  /** The composed multi-repo exclusion predicate: global structural dir
+    * prunes AND, per repo, that repo's own gitignore rules. */
+  def gitignoreExcludeFilter(files: DataFrame,
+                             dirs: Seq[String] = DefaultExcludeDirs): Column =
+    gitignoreGlobsByRepo(files).toSeq.sortBy(_._1)
+      .foldLeft(excludePathFilter(dirs)) {
+        case (acc, (r, (ex, neg))) =>
+          acc && (col("repo") =!= r || excludePathFilter(Nil, ex, neg))
+      }
+
+  /** Collect every applicable .gitignore from a SINGLE-repo file table
+    * (root + one directory level, like the reference) and fold them into
+    * one (excludes, negations) pair for [[excludePathFilter]]; for
+    * multi-repo tables use [[gitignoreExcludeFilter]]. */
   def gitignoreGlobs(files: DataFrame): (Seq[String], Seq[String]) = {
     // the reference skips these dirs when descending one level
     // (file_finder.py:141-147)

@@ -47,7 +47,14 @@ object StreamingDedup {
       (h: String, rows: Iterator[(Long, String, String)],
        state: GroupState[Seen]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty // duplicate of a past batch
+        else if (state.exists) {
+          // duplicate of a past batch. Spark clears the timeout on every
+          // invocation of the function for a key — re-arm it, making the
+          // TTL a sliding inactivity window (without this, any key that
+          // ever sees a duplicate would keep its state forever)
+          ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          Iterator.empty
+        }
         else {
           // lowest doc_id in this batch claims the hash (deterministic
           // under any partitioning/arrival order within the batch)

@@ -85,6 +85,24 @@ class GitignoreSpec extends AnyFunSuite {
     assert(kept === Set("src/app.py", "keep.log", "other/bundle/x.js"))
   }
 
+  test("multi-repo tables: one repo's gitignore rules never filter " +
+       "another repo's files") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      ("repoA", ".gitignore", "docs/\n"),
+      ("repoA", "docs/guide.md", "x"),
+      ("repoA", "src/a.py", "x"),
+      ("repoB", "docs/guide.md", "x"), // same path shape, NO gitignore
+      ("repoB", "src/b.py", "x")).toDF("repo", "path", "content")
+    val kept = files.where(Discovery.gitignoreExcludeFilter(files))
+      .select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept === Set(
+      ("repoA", ".gitignore"), ("repoA", "src/a.py"),
+      ("repoB", "docs/guide.md"), ("repoB", "src/b.py")))
+  }
+
   test("a gitignore negation cannot resurrect a structurally excluded " +
        "dir (defaults are unconditional, like the reference's skip set)") {
     val sp = spark

@@ -68,4 +68,29 @@ class HybridSpec extends AnyFunSuite {
         "the query vector itself must rank first")
     } finally ann.close()
   }
+
+  test("zero-norm vectors: both ANN serving paths drop the undefined " +
+       "similarity instead of crashing, and stay identical") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60)
+      .unionByName(sp.read.parquet(
+          "/root/testdata/sf0.001/embeddings.parquet")
+        .where(col("vec_id") === 0)
+        .select(lit(99999L).as("vec_id"),
+          transform(col("embedding"), _ => lit(0.0f)).as("embedding"),
+          col("label")))
+    val ann = new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 4)
+    try {
+      val qv = emb.where(col("vec_id") === 1).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val cluster = ann.topK(qv, 60)
+      val warm = ann.topKWarm(qv, 60)
+      assert(cluster === warm)
+      assert(!cluster.exists(_._1 == 99999L),
+        "the zero vector must be excluded, not ranked")
+      assert(cluster.nonEmpty)
+    } finally ann.close()
+  }
 }
