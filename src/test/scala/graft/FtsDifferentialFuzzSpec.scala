@@ -156,8 +156,16 @@ class FtsDifferentialFuzzSpec extends AnyFunSuite {
       val wand = idx.searchWand(q).map(r => (r.doc_id, r.score, r.line))
       val cached = cache.search(q).map(r => (r.doc_id, r.score, r.line))
       if (ex.nonEmpty) nonEmpty += 1
-      assert(wand === ex, s"WAND parity for $q")
-      assert(cached === ex, s"cached parity for $q")
+      // docs and lines exact; scores fp-tolerant like the other
+      // differential tests (two-field OR sums differ in summation order
+      // between the paths — last-ulp only)
+      def loose(rs: Seq[(Long, Double, Int)]) = rs.map(r => (r._1, r._3))
+      assert(loose(wand) === loose(ex), s"WAND parity for $q")
+      assert(loose(cached) === loose(ex), s"cached parity for $q")
+      wand.zip(ex).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-8, s"WAND score for $q") }
+      cached.zip(ex).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-8, s"cached score for $q") }
     }
     assert(nonEmpty >= 5)
   }
