@@ -50,15 +50,17 @@ object FtsCli {
         else {
           import graft.sources.Discovery
           // per-repo gitignore composition: repo A's rules never filter
-          // repo B's files
-          val byRepo = Discovery.gitignoreGlobsByRepo(raw)
+          // repo B's files. The .gitignore scan runs ONCE — the collected
+          // rules feed both the report and the filter (ADVICE r04 #3).
+          val byRepo = Discovery.gitignoreRulesByRepo(raw)
           val kept = raw.where(
             Discovery.extensionFilter() &&
-              Discovery.gitignoreExcludeFilter(raw) &&
+              Discovery.gitignoreExcludeFilter(byRepo,
+                Discovery.DefaultExcludeDirs) &&
               Discovery.sizeFilter() && Discovery.textFilter)
           println(s"Discovery: gitignore rules from ${byRepo.size} repo(s) " +
-            s"(${byRepo.valuesIterator.map(_._1.size).sum} patterns, " +
-            s"${byRepo.valuesIterator.map(_._2.size).sum} negations) " +
+            s"(${byRepo.valuesIterator.map(_.count(!_.negation)).sum} patterns, " +
+            s"${byRepo.valuesIterator.map(_.count(_.negation)).sum} negations) " +
             "merged per-repo into the exclude spec")
           kept
         }

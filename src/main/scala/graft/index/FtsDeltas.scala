@@ -170,14 +170,38 @@ object FtsDeltas {
   }
 
   /** Delete by key: tombstones only (reference on_deleted,
-    * fts_watch_handler.py:81-99). `keys` columns: (repo, path). */
+    * fts_watch_handler.py:81-99). `keys` columns: (repo, path).
+    *
+    * Stages under a writer-unique dir and publishes via the same
+    * Rename.NONE path as [[upsert]]/[[fold]]: a reader can never list a
+    * half-written d<gen>, and a concurrent upsert that computed the same
+    * nextGen makes exactly one of the two publishes fail loudly instead
+    * of the tombstone sets silently overwriting each other (ADVICE r04
+    * #2). */
   def delete(spark: SparkSession, keys: DataFrame, root: String): Int = {
     val vDir = currentDir(spark, root)
     val gen = nextGen(spark, vDir)
-    val dDir = s"$vDir/deltas/d$gen"
-    keys.select(col("repo"), col("path"), lit(gen).as("gen"))
-      .write.mode("overwrite").parquet(s"$dDir/tombstones")
+    deleteAt(spark, keys, vDir, gen)
     gen
+  }
+
+  /** The post-[[nextGen]] half of [[delete]] (package-private so the
+    * collision spec can pin the exact race interleaving: another writer
+    * publishes d<gen> between the gen computation and this publish). */
+  private[graft] def deleteAt(spark: SparkSession, keys: DataFrame,
+                              vDir: String, gen: Int): Unit = {
+    val hfs = FtsIndexBuilder.fs(spark, vDir)
+    val tmpDir =
+      s"$vDir/deltas/up.tmp.$gen.${java.util.UUID.randomUUID.toString.take(8)}"
+    try {
+      keys.select(col("repo"), col("path"), lit(gen).as("gen"))
+        .write.mode("overwrite").parquet(s"$tmpDir/tombstones")
+      publishGen(spark, tmpDir, s"$vDir/deltas/d$gen")
+    } catch {
+      case e: Throwable =>
+        hfs.delete(new Path(tmpDir), true) // gen was claimed by another writer
+        throw e
+    }
   }
 
   private def writeDeltaSegments(spark: SparkSession, docs: DataFrame,

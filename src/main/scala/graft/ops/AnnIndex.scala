@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Serving-side IVF index over an embeddings table — the scale path for
@@ -15,6 +16,16 @@ import org.apache.spark.sql.functions._
   *     by cell. At cluster scale this relation is written bucketed /
   *     partitioned by cell, so a probe scans only the probed cells'
   *     files; nothing per-query is ever index-sized.
+  *
+  * ON-DISK CONTRACT (round 5, mirroring the FTS side's versioned
+  * build/publish/load; reference analog: the HNSW index persisted on disk,
+  * storage/hnsw_index_manager.py): [[save]] writes a version dir —
+  * centroids parquet + the assignment parquet PARTITIONED BY CELL — and
+  * atomically swaps a `current` pointer; [[AnnIndex.load]] reopens it with
+  * ZERO clustering jobs (the k-means iterations never re-run), and probe
+  * queries prune to the probed cells' directories via ordinary partition
+  * pruning. A process restart therefore pays one tiny centroid read, not
+  * iters x crossJoin over the full embeddings table.
   *
   * Per query: probe selection is DRIVER-side math over the centroid
   * array (zero Spark jobs), then ONE job scores only the nProbe probed
@@ -35,16 +46,27 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
                  * disable the warm path entirely (every [[topKWarm]]
                  * call then scores through a fresh fetch; at 10^9-vector
                  * scale prefer [[topK]], the cluster path). */
-               maxCachedCells: Int = 64) {
+               maxCachedCells: Int = 64,
+               /** loaded-from-disk state: (centroids, cell-partitioned
+                 * assignment). When set, NO clustering or re-persist runs
+                 * — the on-disk layout serves pruned scans directly. */
+               private val loaded
+                 : Option[(Array[(Int, Array[Double])], DataFrame)] = None) {
 
   /** Seeded k-means cell centroids (cell id -> centroid), driver-held. */
   val centroids: Array[(Int, Array[Double])] =
-    Ann.kmeansCentroids(emb, nCells, iters)
+    loaded.map(_._1).getOrElse(Ann.kmeansCentroids(emb, nCells, iters))
 
-  /** (vec_id, cell, embedding), cell-partitioned and persisted — the same
-    * assignment relation (and tie-break contract) as [[Ann.assignCells]],
-    * which the `ann_ivf_topk` oracle pins. */
-  val assigned: DataFrame = {
+  /** Whether the in-memory assignment persist belongs to this instance
+    * (fresh build); a loaded index reads the cell-partitioned files. */
+  private val ownsPersist = loaded.isEmpty
+
+  /** (vec_id, cell, embedding) — fresh build: cell-partitioned and
+    * persisted in memory (the same assignment relation and tie-break
+    * contract as [[Ann.assignCells]], which the `ann_ivf_topk` oracle
+    * pins); loaded: the cell-partitioned parquet relation, where a
+    * cell-pruned probe reads only the probed cells' files. */
+  val assigned: DataFrame = loaded.map(_._2).getOrElse {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = centroids.toSeq.toDF("cell", "ce0")
@@ -148,15 +170,72 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     out.sortBy { case (id, sim) => (-sim, id) }.take(k).toSeq
   }
 
-  /** Release the persisted assignment relation and the driver cell
-    * cache. */
+  /** Persist this index under `root` as a new version dir and atomically
+    * swap the `current` pointer (the FTS side's publish shape,
+    * [[graft.index.FtsIndexBuilder]]): centroids as a tiny parquet, the
+    * assignment parquet PARTITIONED BY CELL — each cell its own
+    * directory, so a loaded index's probe queries prune to nProbe
+    * directories at the file-listing level. Returns the version dir. */
+  def save(root: String): String = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val version = s"v${System.currentTimeMillis()}"
+    val vDir = s"$root/$version"
+    centroids.toSeq.map { case (c, ce) => (c, ce.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$vDir/centroids")
+    assigned.select(col("cell"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$vDir/assignment")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new Path(root).getFileSystem(conf)
+    hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
+    // atomic current-pointer swap (rename-with-overwrite via FileContext,
+    // same as the FTS builder: no window where a reader sees no pointer)
+    val tmp = new Path(root, s"current.tmp.$version")
+    val out = hfs.create(tmp, true)
+    out.write(version.getBytes("UTF-8")); out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(root, "current")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    vDir
+  }
+
+  /** Release the persisted assignment relation (fresh builds only — a
+    * loaded index holds no cluster memory) and the driver cell cache. */
   def close(): Unit = {
-    assigned.unpersist()
+    if (ownsPersist) assigned.unpersist()
     cellVectors.synchronized(cellVectors.clear())
   }
 }
 
 object AnnIndex {
+
+  /** Reopen the `current` version of a saved index: one tiny centroid
+    * read to the driver, ZERO clustering jobs, no table-sized persist —
+    * probe queries run cell-pruned scans over the partitioned layout
+    * (partition pruning replaces the in-memory repartition). */
+  def load(spark: SparkSession, root: String, nProbe: Int = 8,
+           maxCachedCells: Int = 64): AnnIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new Path(root).getFileSystem(conf)
+    val in = hfs.open(new Path(root, "current"))
+    val version = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    val vDir = s"$root/$version"
+    val cents = spark.read.parquet(s"$vDir/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val assigned = spark.read.parquet(s"$vDir/assignment")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("embedding"))
+    new AnnIndex(assigned, nCells = cents.length, nProbe = nProbe,
+      maxCachedCells = maxCachedCells, loaded = Some((cents, assigned)))
+  }
+
   /** Rounded query-vs-stored similarity — the ONE definition both serving
     * paths share: double math from float elements, HALF_UP to 4 decimals,
     * matching [[Ann.cosine]] + `round(_, 4)`. Static so UDF closures

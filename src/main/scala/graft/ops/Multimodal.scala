@@ -189,10 +189,10 @@ object Multimodal {
   private[graft] def decodeImageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
-    val grid = math.max(1, math.sqrt((dim - 2).toDouble).toInt)
+    val grid = math.max(1, math.sqrt(math.max(0, dim - 2).toDouble).toInt)
     val out = new Array[Float](dim)
-    out(0) = img.getWidth.toFloat
-    out(1) = img.getHeight.toFloat
+    if (dim > 0) out(0) = img.getWidth.toFloat
+    if (dim > 1) out(1) = img.getHeight.toFloat
     val cw = math.max(1, img.getWidth / grid)
     val ch = math.max(1, img.getHeight / grid)
     var gy = 0
@@ -240,8 +240,8 @@ object Multimodal {
     val dataLen = bb.getInt(40)
     val n = dataLen / 2
     val out = new Array[Float](dim)
-    out(0) = sampleRate.toFloat
-    out(1) = n.toFloat
+    if (dim > 0) out(0) = sampleRate.toFloat
+    if (dim > 1) out(1) = n.toFloat
     // global RMS — integer sum of squares (exact, order-independent), one
     // sqrt/divide at the end: bit-identical to the DuckDB oracle
     var sumSq = 0L
@@ -249,7 +249,7 @@ object Multimodal {
     while (i < n) {
       val s = bb.getShort(44 + 2 * i).toLong; sumSq += s * s; i += 1
     }
-    out(2) =
+    if (dim > 2) out(2) =
       (if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat
     // per-window RMS + zero crossings over the remaining dims
     val nWin = math.max(1, (dim - 3) / 2)
@@ -284,8 +284,8 @@ object Multimodal {
   private[graft] def decodeY4mFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val (w, h, _, _, frames) = parseY4m(bytes)
     val out = new Array[Float](dim)
-    out(0) = w.toFloat
-    out(1) = h.toFloat
+    if (dim > 0) out(0) = w.toFloat
+    if (dim > 1) out(1) = h.toFloat
     if (dim > 2) out(2) = frames.length.toFloat
     val ySize = w * h
     var f = 0

@@ -217,7 +217,7 @@ class FtsIndex(spark: SparkSession, root: String) {
   /** The dead set as a cluster broadcast — built ONCE per snapshot (the
     * set is immutable; re-broadcasting per query would pay torrent
     * distribution every time and leak blocks until the ContextCleaner
-    * runs) and destroyed by [[cool]] on snapshot retirement. */
+    * runs) and unpersisted by [[cool]] on snapshot retirement. */
   @volatile private var deadBcCache
       : Option[org.apache.spark.broadcast.Broadcast[Wand.DeadSet]] = null
   private def deadBc
@@ -239,11 +239,18 @@ class FtsIndex(spark: SparkSession, root: String) {
   }
 
   /** Release relations persisted by [[warm]] (called on reload swap),
-    * plus the snapshot's dead-set broadcast if one was built. */
+    * plus the snapshot's dead-set broadcast if one was built.
+    *
+    * The broadcast is UNPERSISTED, never destroyed: [[ReloadingFtsIndex]]
+    * swaps and cools the stale snapshot while unsynchronized readers may
+    * still be mid-query on it — a destroyed broadcast turns that benign
+    * race into a hard SparkException, whereas an unpersisted one simply
+    * re-broadcasts on next use and is reclaimed by the ContextCleaner
+    * when the snapshot is GC'd (ADVICE r04 #1). */
   def cool(): this.type = {
     docs.unpersist(); segments.unpersist(); dict.unpersist()
     val bc = deadBcCache
-    if (bc != null) bc.foreach(_.destroy())
+    if (bc != null) bc.foreach(_.unpersist())
     this
   }
 

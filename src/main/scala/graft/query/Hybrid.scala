@@ -14,6 +14,14 @@ import org.apache.spark.sql.DataFrame
   * scope per SURVEY §0 — the engine-side contract is identical from the
   * query vector on). Cosine top-k goes through the same bucketed plans as
   * the `ann_*` contract queries.
+  *
+  * SERVING COMPOSITION (round 5): the production overloads take the FTS
+  * half as a STRATEGY — default [[ReloadingFtsIndex.searchCached]], the
+  * driver warm cache whose own fallback chain (cache -> WAND -> exhaustive
+  * cluster) already covers every budget case — so a warm hybrid query is
+  * warm on BOTH halves (the reference's ~120 ms hybrid total,
+  * docs/query-guide.md:501, is warm-daemon FTS + HNSW). The exact
+  * [[FtsIndex.searchCollected]] scan remains the contract mode.
   */
 object Hybrid {
 
@@ -25,23 +33,40 @@ object Hybrid {
   final case class HybridResults(fts: Seq[SearchResult],
                                  semantic: Seq[SemanticHit])
 
+  /** Dedicated 2-worker pool for the two halves — the reference's
+    * ThreadPoolExecutor(max_workers=2) (cli.py:5039-5107). A dedicated
+    * pool (daemon threads) instead of ExecutionContext.global: hybrid
+    * queries block their workers with Spark actions, and under the
+    * concurrent-serving regime (8-thread daemon bench) borrowed
+    * fork-join threads can starve unrelated parallel work (ADVICE shape,
+    * VERDICT r04 wrong #4). */
+  private lazy val pool: scala.concurrent.ExecutionContext = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-hybrid-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, tf))
+  }
+
   /** Run FTS and semantic search in parallel (the reference's 2-worker
-    * ThreadPoolExecutor — here two futures over the shared SparkSession;
-    * Spark schedules the two job DAGs concurrently). CONTRACT MODE: the
-    * semantic half is the exact full scan — bit-reproducible, but O(table)
-    * per query; production serving goes through [[search(idx*]] with an
-    * [[graft.ops.AnnIndex]]. */
+    * ThreadPoolExecutor). CONTRACT MODE: the FTS half is the exhaustive
+    * cluster scorer and the semantic half the exact full scan —
+    * bit-reproducible, but O(table) per query; production serving goes
+    * through the [[ReloadingFtsIndex]] overloads below. */
   def search(idx: FtsIndex, emb: DataFrame, queryVec: Array[Float],
              q: FtsQuery, kSemantic: Int = 10): HybridResults =
-    runBoth(idx, q, semanticTopK(emb, queryVec, kSemantic))
+    runBoth(() => idx.searchCollected(q),
+      () => semanticTopK(emb, queryVec, kSemantic))
 
-  /** Production hybrid: the semantic half probes a prebuilt IVF index
-    * through its warm cell cache — driver-side probe selection, one
-    * pruned job per COLD cell, zero jobs hot (the reference's ~20 ms
-    * HNSW analog, docs/query-guide.md:76) — instead of a full scan of
-    * the embeddings table. [[graft.ops.AnnIndex.topK]] is the same
-    * plan kept on the cluster for vector sets too large to cache cells
-    * driver-side. */
+  /** Contract-mode FTS half + IVF-index semantic half: the semantic side
+    * probes a prebuilt IVF index through its warm cell cache —
+    * driver-side probe selection, one pruned job per COLD cell, zero jobs
+    * hot (the reference's ~20 ms HNSW analog, docs/query-guide.md:76). */
   def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
              q: FtsQuery, kSemantic: Int): HybridResults =
     search(idx, ann, queryVec, q, kSemantic, warmSemantic = true)
@@ -53,20 +78,46 @@ object Hybrid {
   def search(idx: FtsIndex, ann: graft.ops.AnnIndex, queryVec: Array[Float],
              q: FtsQuery, kSemantic: Int,
              warmSemantic: Boolean): HybridResults =
-    runBoth(idx, q, {
+    searchWith(qq => idx.searchCollected(qq), ann, queryVec, q, kSemantic,
+      warmSemantic)
+
+  /** PRODUCTION hybrid: warm on both halves. The FTS half serves through
+    * [[ReloadingFtsIndex.searchCached]] (driver cache -> WAND ->
+    * exhaustive fallback chain, reloading on index movement); the
+    * semantic half through the IVF index's warm cell cache. Hot queries
+    * touch zero Spark jobs on either side. */
+  def search(rel: ReloadingFtsIndex, ann: graft.ops.AnnIndex,
+             queryVec: Array[Float], q: FtsQuery,
+             kSemantic: Int): HybridResults =
+    search(rel, ann, queryVec, q, kSemantic, warmSemantic = true)
+
+  /** As above with an explicit semantic serving path (see the
+    * `warmSemantic` note on the contract-mode overload). */
+  def search(rel: ReloadingFtsIndex, ann: graft.ops.AnnIndex,
+             queryVec: Array[Float], q: FtsQuery, kSemantic: Int,
+             warmSemantic: Boolean): HybridResults =
+    searchWith(qq => rel.searchCached(qq), ann, queryVec, q, kSemantic,
+      warmSemantic)
+
+  /** Strategy-parameterized core: any FTS searcher (warm cache, WAND,
+    * exhaustive) composed with the IVF semantic half. */
+  def searchWith(fts: FtsQuery => Seq[SearchResult],
+                 ann: graft.ops.AnnIndex, queryVec: Array[Float],
+                 q: FtsQuery, kSemantic: Int,
+                 warmSemantic: Boolean = true): HybridResults =
+    runBoth(() => fts(q), { () =>
       val hits =
         if (warmSemantic) ann.topKWarm(queryVec, kSemantic)
         else ann.topK(queryVec, kSemantic)
       hits.map { case (id, s) => SemanticHit(id, s) }
     })
 
-  private def runBoth(idx: FtsIndex, q: FtsQuery,
-                      semantic: => Seq[SemanticHit]): HybridResults = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+  private def runBoth(fts: () => Seq[SearchResult],
+                      semantic: () => Seq[SemanticHit]): HybridResults = {
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val ftsF = Future(idx.searchCollected(q))
-    val semF = Future(semantic)
+    val ftsF = Future(fts())(pool)
+    val semF = Future(semantic())(pool)
     HybridResults(Await.result(ftsF, Duration.Inf),
       Await.result(semF, Duration.Inf))
   }

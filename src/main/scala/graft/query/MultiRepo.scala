@@ -31,4 +31,67 @@ object MultiRepo {
     filtered.withColumn("rank", row_number().over(w))
       .where(col("rank") <= limit)
   }
+
+  /** Per-repo results + per-repo errors, never a partial failure of the
+    * whole fan-out (reference MultiSearchService returns a results map
+    * and an errors map side by side, multi_search_service.py:265-333). */
+  final case class MultiSearchOutcome(results: Map[String, Seq[SearchResult]],
+                                      errors: Map[String, String])
+
+  /** Per-repo fan-out ISOLATION (reference
+    * multi_search_service.py:115-210): each repo's searcher runs
+    * concurrently on its own worker with a shared deadline — a repo that
+    * throws contributes an error entry, a repo that stalls past the
+    * timeout contributes a timeout entry, and every other repo's results
+    * are returned intact. This complements [[aggregate]]: the
+    * single-query-over-the-union-table model is the right SHAPE for
+    * aggregation at scale (one shuffle, per-repo window), while this
+    * entry point is the right shape for serving over independently-owned
+    * per-repo indexes, where fault/latency isolation matters more than
+    * plan fusion.
+    *
+    * `searchers`: repo -> thunk (e.g. `() => rel.searchCached(q)` over
+    * that repo's [[ReloadingFtsIndex]]). Timed-out workers are
+    * interrupted best-effort; their pool threads are daemons, so a
+    * stuck search can never pin the JVM. */
+  def searchAll(searchers: Map[String, () => Seq[SearchResult]],
+                timeout: scala.concurrent.duration.FiniteDuration,
+                parallelism: Int = 4): MultiSearchOutcome = {
+    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    if (searchers.isEmpty) return MultiSearchOutcome(Map.empty, Map.empty)
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-multirepo-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, searchers.size)), tf)
+    try {
+      val deadline = System.nanoTime() + timeout.toNanos
+      val futures = searchers.toSeq.sortBy(_._1).map { case (repo, f) =>
+        repo -> pool.submit(new java.util.concurrent.Callable[Seq[SearchResult]] {
+          def call(): Seq[SearchResult] = f()
+        })
+      }
+      val results = Map.newBuilder[String, Seq[SearchResult]]
+      val errors = Map.newBuilder[String, String]
+      futures.foreach { case (repo, fut) =>
+        val remaining = math.max(0L, deadline - System.nanoTime())
+        try results += repo -> fut.get(remaining, TimeUnit.NANOSECONDS)
+        catch {
+          case _: TimeoutException =>
+            fut.cancel(true)
+            errors += repo -> s"timeout after ${timeout.toMillis} ms"
+          case e: java.util.concurrent.ExecutionException =>
+            val cause = Option(e.getCause).getOrElse(e)
+            errors += repo ->
+              s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
+        }
+      }
+      MultiSearchOutcome(results.result(), errors.result())
+    } finally pool.shutdownNow()
+  }
 }

@@ -67,84 +67,122 @@ object Discovery {
     keepDirs && keepExtra
   }
 
+  /** One gitignore line, in file order: a gitwildmatch pattern and whether
+    * it re-includes (`!pattern`). Order matters — gitignore is
+    * LAST-match-wins per path. */
+  final case class GitignoreRule(pattern: String, negation: Boolean)
+
   /** Gitignore ingestion (reference: indexing/file_finder.py:112-149):
-    * parse ONE .gitignore body into gitwildmatch patterns. `baseDir` = ""
-    * for the repo-root file; for a nested file (the reference descends
-    * exactly ONE level) pass its directory — nested lines are prefixed
-    * `baseDir/` UNLESS they start with '/', which the reference leaves
-    * untouched (root-anchored; quirk preserved). Comments and blanks are
-    * skipped. Returns (excludes, negations): root-level `!lines` become
-    * negations for [[excludePathFilter]]'s `negGlobs` (pathspec's
-    * last-match-wins is approximated as excluded-and-not-negated);
-    * NESTED `!lines` get prefixed first — `sub/!x` — and are therefore
-    * literal non-negating patterns, exactly as the reference's
-    * prefix-then-parse produces. */
-  def gitignorePatterns(content: String,
-                        baseDir: String = ""): (Seq[String], Seq[String]) = {
-    val lines = content.linesIterator.map(_.trim)
+    * parse ONE .gitignore body into ORDERED gitwildmatch rules. `baseDir`
+    * = "" for the repo-root file; for a nested file (the reference
+    * descends exactly ONE level) pass its directory — nested lines are
+    * prefixed `baseDir/` UNLESS they start with '/', which the reference
+    * leaves untouched (root-anchored; quirk preserved). Comments and
+    * blanks are skipped. NESTED `!lines` get prefixed BEFORE the negation
+    * check — `sub/!x` — and are therefore literal non-negating patterns,
+    * exactly as the reference's prefix-then-parse produces. */
+  def gitignoreRules(content: String,
+                     baseDir: String = ""): Seq[GitignoreRule] =
+    content.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
-        if (baseDir.nonEmpty && !l.startsWith("/")) s"$baseDir/$l" else l
+        val p = if (baseDir.nonEmpty && !l.startsWith("/")) s"$baseDir/$l" else l
+        if (p.startsWith("!")) GitignoreRule(p.drop(1), negation = true)
+        else GitignoreRule(p, negation = false)
       }.toSeq
-    val (negs, excls) = lines.partition(_.startsWith("!"))
-    (excls, negs.map(_.drop(1)))
+
+  /** [[gitignoreRules]] flattened to (excludes, negations) — the unordered
+    * view for callers composing via [[excludePathFilter]]'s
+    * excluded-and-not-negated approximation; the engine's own discovery
+    * paths evaluate the ORDERED rules ([[gitignoreExcludedColumn]]). */
+  def gitignorePatterns(content: String,
+                        baseDir: String = ""): (Seq[String], Seq[String]) = {
+    val rules = gitignoreRules(content, baseDir)
+    (rules.filterNot(_.negation).map(_.pattern),
+      rules.filter(_.negation).map(_.pattern))
   }
+
+  /** Pathspec's LAST-match-wins "is excluded" predicate over an ordered
+    * rule list (git's gitwildmatch semantics, reference
+    * file_finder.py:112-149): each rule is one compiled regex, and a
+    * LATER matching rule overrides any earlier decision — `!a.go`
+    * followed by `*.go` still excludes a.go, where the former
+    * excluded-and-not-negated composition resurrected it (ADVICE r04 #4).
+    * The fold compiles to one nested CASE WHEN chain, codegen'd like any
+    * rlike; gitignore files are tens of lines, never corpus-sized.
+    * Invalid patterns are skipped like the reference
+    * (path_pattern_matcher.py:198-200). */
+  def gitignoreExcludedColumn(rules: Seq[GitignoreRule]): Column =
+    rules.foldLeft(lit(false)) { case (acc, r) =>
+      PathGlob.anyRegex(Seq(r.pattern)) match {
+        case Some(re) =>
+          when(col("path").rlike(re), lit(!r.negation)).otherwise(acc)
+        case None => acc
+      }
+    }
+
+  private val GitignoreSkipDirs =
+    Set(".git", "__pycache__", ".mypy_cache", "node_modules")
+
+  private def collectGitignoreFiles(files: DataFrame, withRepo: Boolean)
+      : Seq[(String, String, String)] = {
+    // the reference skips these dirs when descending one level
+    // (file_finder.py:141-147); the gitignore rows are a handful of
+    // driver-collected files, never corpus-sized
+    val repoCol = if (withRepo) col("repo") else lit("")
+    files
+      .where(col("path") === ".gitignore" ||
+        col("path").rlike("^[^/]+/\\.gitignore$"))
+      .select(repoCol.as("repo"), col("path"), col("content")).collect()
+      .filterNot(r =>
+        GitignoreSkipDirs.exists(d => r.getString(1).startsWith(d + "/")))
+      .sortBy(r => (r.getString(0), r.getString(1).length)) // root first
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  private def parseGitignoreFile(path: String, content: String)
+      : Seq[GitignoreRule] = {
+    val base = if (path == ".gitignore") "" else path.stripSuffix("/.gitignore")
+    gitignoreRules(content, base)
+  }
+
+  /** Collect every applicable .gitignore from a SINGLE-repo file table
+    * (root + one directory level, like the reference) into one ordered
+    * rule list — root rules first, then nested (a deeper file's rules
+    * evaluate later, i.e. take precedence under last-match-wins, like
+    * git). For multi-repo tables use [[gitignoreRulesByRepo]]. */
+  def gitignoreRulesAll(files: DataFrame): Seq[GitignoreRule] =
+    collectGitignoreFiles(files, withRepo = false)
+      .flatMap { case (_, p, c) => parseGitignoreFile(p, c) }
 
   /** Per-repo gitignore collection for MULTI-repo tables: each repo's
     * rules apply only to its own paths (the reference indexes one
-    * codebase at a time — rules must never leak across repos). The
-    * gitignore rows are a handful of driver-collected files per repo,
-    * never corpus-sized. */
-  def gitignoreGlobsByRepo(files: DataFrame)
-      : Map[String, (Seq[String], Seq[String])] = {
-    val skip = Set(".git", "__pycache__", ".mypy_cache", "node_modules")
-    val rows = files
-      .where(col("path") === ".gitignore" ||
-        col("path").rlike("^[^/]+/\\.gitignore$"))
-      .select("repo", "path", "content").collect()
-      .filterNot(r => skip.exists(d => r.getString(1).startsWith(d + "/")))
-      .sortBy(r => (r.getString(0), r.getString(1).length))
-    rows.toSeq.groupBy(_.getString(0)).map { case (repo, rs) =>
-      val parsed = rs.map { r =>
-        val p = r.getString(1)
-        val base = if (p == ".gitignore") "" else p.stripSuffix("/.gitignore")
-        gitignorePatterns(r.getString(2), base)
+    * codebase at a time — rules must never leak across repos). */
+  def gitignoreRulesByRepo(files: DataFrame)
+      : Map[String, Seq[GitignoreRule]] =
+    collectGitignoreFiles(files, withRepo = true)
+      .groupBy(_._1)
+      .map { case (repo, rs) =>
+        repo -> rs.flatMap { case (_, p, c) => parseGitignoreFile(p, c) }
       }
-      repo -> ((parsed.flatMap(_._1), parsed.flatMap(_._2)))
-    }
-  }
 
-  /** The composed multi-repo exclusion predicate: global structural dir
-    * prunes AND, per repo, that repo's own gitignore rules. */
+  /** The composed multi-repo exclusion predicate from PRECOMPUTED per-repo
+    * rules: global structural dir prunes AND, per repo, that repo's own
+    * ordered gitignore rules (last-match-wins). */
+  def gitignoreExcludeFilter(rulesByRepo: Map[String, Seq[GitignoreRule]],
+                             dirs: Seq[String]): Column =
+    rulesByRepo.toSeq.sortBy(_._1)
+      .foldLeft(excludePathFilter(dirs)) {
+        case (acc, (r, rules)) =>
+          acc && (col("repo") =!= r || !gitignoreExcludedColumn(rules))
+      }
+
+  /** As above, collecting the gitignore files itself (one driver-side
+    * scan; pass precomputed rules via the other overload when the caller
+    * also needs them, so the scan runs once — ADVICE r04 #3). */
   def gitignoreExcludeFilter(files: DataFrame,
                              dirs: Seq[String] = DefaultExcludeDirs): Column =
-    gitignoreGlobsByRepo(files).toSeq.sortBy(_._1)
-      .foldLeft(excludePathFilter(dirs)) {
-        case (acc, (r, (ex, neg))) =>
-          acc && (col("repo") =!= r || excludePathFilter(Nil, ex, neg))
-      }
-
-  /** Collect every applicable .gitignore from a SINGLE-repo file table
-    * (root + one directory level, like the reference) and fold them into
-    * one (excludes, negations) pair for [[excludePathFilter]]; for
-    * multi-repo tables use [[gitignoreExcludeFilter]]. */
-  def gitignoreGlobs(files: DataFrame): (Seq[String], Seq[String]) = {
-    // the reference skips these dirs when descending one level
-    // (file_finder.py:141-147)
-    val skip = Set(".git", "__pycache__", ".mypy_cache", "node_modules")
-    val rows = files
-      .where(col("path") === ".gitignore" ||
-        col("path").rlike("^[^/]+/\\.gitignore$"))
-      .select("path", "content").collect()
-      .filterNot(r => skip.exists(d => r.getString(0).startsWith(d + "/")))
-      .sortBy(_.getString(0).length) // root first, then nested
-    val parsed = rows.toSeq.map { r =>
-      val p = r.getString(0)
-      val base = if (p == ".gitignore") "" else p.stripSuffix("/.gitignore")
-      gitignorePatterns(r.getString(1), base)
-    }
-    (parsed.flatMap(_._1), parsed.flatMap(_._2))
-  }
+    gitignoreExcludeFilter(gitignoreRulesByRepo(files), dirs)
 
   /** The composed discovery predicate (S2 AND S3 AND S4 AND S5). */
   def discoveryFilter(exts: Set[String] = DefaultExtensions,

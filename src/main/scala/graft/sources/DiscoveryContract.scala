@@ -25,7 +25,10 @@ object DiscoveryQueries {
   /** Gitignore fixture for the oracle: an unanchored dir pattern, a
     * rooted (leading-'/') pattern, a suffix glob, a `!` negation, plus a
     * NESTED gitignore line prefixed with its directory — every semantic
-    * [[Discovery.gitignorePatterns]] implements. */
+    * [[Discovery.gitignoreRules]] implements. Evaluated with pathspec's
+    * last-match-wins ordering ([[Discovery.gitignoreExcludedColumn]]);
+    * the negation is the final matching rule for the paths it covers, so
+    * the hand-written oracle SQL's OR-composition states the same set. */
   private val OracleGitignoreRoot =
     "# vendored sources\nsrc2/\n/src/src4\n*.go\n!**/src7/*.go\n"
   private val OracleGitignoreNested = "file_1*.js"
@@ -39,11 +42,10 @@ object DiscoveryQueries {
         .select("doc_id", "path", "lang")),
 
     "src_gitignore" -> ((s, d) => {
-      val (re, rn) = Discovery.gitignorePatterns(OracleGitignoreRoot)
-      val (ne, nn) =
-        Discovery.gitignorePatterns(OracleGitignoreNested, "src/src5")
+      val rules = Discovery.gitignoreRules(OracleGitignoreRoot) ++
+        Discovery.gitignoreRules(OracleGitignoreNested, "src/src5")
       corpus(s, d)
-        .where(Discovery.excludePathFilter(Nil, re ++ ne, rn ++ nn))
+        .where(!Discovery.gitignoreExcludedColumn(rules))
         .select("doc_id", "path")
     }),
 

@@ -1,0 +1,178 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Fixtures
+import graft.index.{FtsDeltas, FtsIndexBuilder}
+import graft.query.{FtsIndex, FtsQuery, Hybrid, MultiRepo, ReloadingFtsIndex}
+
+/** Round-5: delete publishes generations as atomically as upsert/fold,
+  * the production hybrid serves its FTS half through the warm path with
+  * results identical to contract mode, a saved AnnIndex reopens from disk
+  * with zero clustering jobs and identical answers, and the multi-repo
+  * fan-out isolates per-repo failures and timeouts. */
+class FtsRound5Spec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val cfg = FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4)
+
+  private def freshIndex(docs: Seq[Fixtures.Doc]): String = {
+    val root = TestSpark.tempDir("r5")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, cfg)
+    root
+  }
+
+  private def keyOf(r: graft.query.SearchResult) = (r.doc_id, r.score)
+
+  test("delete publishes one complete generation atomically and removes " +
+       "the doc from every query path") {
+    val root = freshIndex(Fixtures.corpusA)
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    val victim = new FtsIndex(spark, root)
+      .searchCollected(FtsQuery("authenticate", limit = 1)).head
+    val sp = spark
+    import sp.implicits._
+    val gen = FtsDeltas.delete(spark,
+      Seq((victim.repo, victim.path)).toDF("repo", "path"), root)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(
+      s"$vDir/deltas/d$gen/tombstones")), "published delete missing tombstones")
+    val names = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$vDir/deltas"))
+      .map(_.getPath.getName).toSet
+    assert(names === Set(s"d$gen"), s"delete left staging residue: $names")
+    val after = new FtsIndex(spark, root)
+      .searchCollected(FtsQuery("authenticate", limit = 10))
+    assert(!after.exists(r => r.repo == victim.repo && r.path == victim.path),
+      "deleted doc still served")
+  }
+
+  test("delete refuses to overwrite a generation a concurrent writer " +
+       "already published, and cleans up its own stage (ADVICE r04 #2)") {
+    val root = freshIndex(Fixtures.corpusA)
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    // the exact race: delete computes nextGen = 1, then a concurrent
+    // upsert publishes d1 BEFORE delete's own publish — delete must fail
+    // loudly instead of overwriting/nesting into the published generation
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$vDir/deltas/d1/tombstones"))
+    val sp = spark
+    import sp.implicits._
+    intercept[Exception] {
+      FtsDeltas.deleteAt(spark,
+        Seq(("test_repo", "src/auth.py")).toDF("repo", "path"), vDir, gen = 1)
+    }
+    val names = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$vDir/deltas"))
+      .map(_.getPath.getName).toSet
+    assert(names === Set("d1"),
+      s"failed delete must leave no residue and not nest into d1: $names")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+      s"$vDir/deltas/d1/d1")), "staged dir nested inside the live generation")
+  }
+
+  test("production hybrid (warm FTS half + warm semantic half) returns " +
+       "results identical to contract mode, including under live deltas") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    val rel = new ReloadingFtsIndex(spark, root)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ann = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 6)
+    try {
+      val qv = emb.where(org.apache.spark.sql.functions.col("vec_id") === 3)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val shapes = Seq(
+        FtsQuery("authenticate", limit = 5),
+        FtsQuery("def handler", limit = 5),
+        FtsQuery("authentcate", editDistance = 1, limit = 5))
+      shapes.foreach { q =>
+        val warm = Hybrid.search(rel, ann, qv, q, kSemantic = 7)
+        val contract =
+          Hybrid.search(rel.index, ann, qv, q, kSemantic = 7,
+            warmSemantic = false)
+        assert(warm.fts.map(_.doc_id) === contract.fts.map(_.doc_id),
+          s"warm hybrid FTS docs diverged for '${q.text}'")
+        warm.fts.zip(contract.fts).foreach { case (a, b) =>
+          assert(math.abs(a.score - b.score) < 1e-8,
+            s"warm hybrid FTS score diverged for '${q.text}'") }
+        assert(warm.semantic === contract.semantic,
+          s"warm hybrid semantic hits diverged for '${q.text}'")
+      }
+      // live-delta regime: the warm half must keep matching the cluster
+      // path after the reload picks up the new generation
+      FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+        Fixtures.Doc("test_repo", "src/hybrid_new.py", "h1" * 20, "python",
+          "def fresh(): return authenticate_user()", Nil))), root, cfg)
+      val q = FtsQuery("authenticate", limit = 5)
+      val warm = Hybrid.search(rel, ann, qv, q, kSemantic = 7)
+      val cluster = rel.index.searchCollected(q)
+      assert(warm.fts.map(_.doc_id) === cluster.map(_.doc_id),
+        "warm hybrid diverged from the cluster path under live deltas")
+    } finally ann.close()
+  }
+
+  test("AnnIndex save/load: reopening from disk reproduces topK and " +
+       "topKWarm exactly, with zero clustering jobs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val built = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 6)
+    val root = TestSpark.tempDir("ann_idx")
+    try {
+      built.save(root)
+      val loadedIdx = graft.ops.AnnIndex.load(spark, root, nProbe = 6)
+      try {
+        assert(loadedIdx.nCells === built.nCells)
+        assert(loadedIdx.centroids.map(_._1) === built.centroids.map(_._1))
+        loadedIdx.centroids.zip(built.centroids).foreach {
+          case ((_, a), (_, b)) => assert(a === b,
+            "loaded centroid differs from built centroid") }
+        val queries = emb
+          .where(org.apache.spark.sql.functions.col("vec_id") < 12)
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        queries.foreach { qv =>
+          assert(loadedIdx.probeCells(qv) === built.probeCells(qv))
+          assert(loadedIdx.topK(qv, 10) === built.topK(qv, 10),
+            "loaded topK diverged from built topK")
+          assert(loadedIdx.topKWarm(qv, 10) === built.topK(qv, 10),
+            "loaded topKWarm diverged")
+        }
+        // the pruned probe plan over the partitioned layout reads only
+        // the probed cells' directories (partition pruning, the scale
+        // story for a loaded serving index)
+        val cells = loadedIdx.probeCells(queries.head)
+        val plan = loadedIdx.assigned
+          .where(org.apache.spark.sql.functions.col("cell").isin(cells: _*))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") &&
+          plan.contains("cell"), s"probe scan not partition-pruned:\n$plan")
+      } finally loadedIdx.close()
+      // a second save publishes a NEW version and the pointer follows it
+      val v2 = built.save(root)
+      val reloaded = graft.ops.AnnIndex.load(spark, root, nProbe = 6)
+      try assert(reloaded.centroids.map(_._1) === built.centroids.map(_._1))
+      finally reloaded.close()
+      assert(v2.contains("/v"))
+    } finally built.close()
+  }
+
+  test("multi-repo fan-out isolation: a throwing repo and a stalling repo " +
+       "become error entries; healthy repos return intact (Q16)") {
+    import scala.concurrent.duration._
+    val root = freshIndex(Fixtures.corpusA)
+    val idx = new FtsIndex(spark, root)
+    val healthy = idx.searchCollected(FtsQuery("authenticate", limit = 3))
+    assert(healthy.nonEmpty)
+    val out = MultiRepo.searchAll(Map(
+      "repo_ok" -> (() => healthy),
+      "repo_throws" -> (() =>
+        throw new IllegalStateException("index corrupted")),
+      "repo_stalls" -> (() => { Thread.sleep(30000); Nil })),
+      timeout = 2.seconds)
+    assert(out.results.keySet === Set("repo_ok"))
+    assert(out.results("repo_ok") === healthy)
+    assert(out.errors.keySet === Set("repo_throws", "repo_stalls"))
+    assert(out.errors("repo_throws").contains("index corrupted"))
+    assert(out.errors("repo_stalls").contains("timeout"))
+    // empty fan-out is a no-op, not an error
+    val empty = MultiRepo.searchAll(
+      Map.empty[String, () => Seq[graft.query.SearchResult]],
+      timeout = 1.second)
+    assert(empty.results.isEmpty && empty.errors.isEmpty)
+  }
+}

@@ -55,8 +55,8 @@ class GitignoreSpec extends AnyFunSuite {
     assert(neg === Nil)
   }
 
-  test("gitignoreGlobs collects root + one-level .gitignore files, " +
-       "skipping the reference's pruned dirs") {
+  test("gitignoreRulesAll collects root + one-level .gitignore files in " +
+       "order, skipping the reference's pruned dirs") {
     val sp = spark
     import sp.implicits._
     val files = Seq(
@@ -65,9 +65,46 @@ class GitignoreSpec extends AnyFunSuite {
       ("node_modules/.gitignore", "everything\n"), // pruned dir: skipped
       ("a/b/.gitignore", "too_deep\n"), // two levels: never read
       ("src/main.py", "print(1)")).toDF("path", "content")
-    val (excl, neg) = Discovery.gitignoreGlobs(files)
-    assert(excl === Seq("*.log", "web/bundle/"))
-    assert(neg === Seq("keep.log"))
+    val rules = Discovery.gitignoreRulesAll(files)
+    assert(rules === Seq(
+      Discovery.GitignoreRule("*.log", negation = false),
+      Discovery.GitignoreRule("keep.log", negation = true),
+      Discovery.GitignoreRule("web/bundle/", negation = false)))
+  }
+
+  test("gitignoreExcludedColumn is LAST-match-wins: a later exclude " +
+       "overrides an earlier negation (git pathspec semantics)") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      "a.go", "keep.go", "src/app.py").toDF("path")
+    // git: `!keep.go` followed by `*.go` — the later *.go line wins, so
+    // keep.go IS excluded (the pre-r5 excluded-and-not-negated
+    // composition wrongly resurrected it)
+    val rules = Discovery.gitignoreRules("!keep.go\n*.go\n")
+    val kept = files.where(!Discovery.gitignoreExcludedColumn(rules))
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("src/app.py"))
+    // and in the reverse order the negation is last and re-includes
+    val rules2 = Discovery.gitignoreRules("*.go\n!keep.go\n")
+    val kept2 = files.where(!Discovery.gitignoreExcludedColumn(rules2))
+      .collect().map(_.getString(0)).toSet
+    assert(kept2 === Set("keep.go", "src/app.py"))
+  }
+
+  test("gitignoreExcludedColumn interleaved rules: a/*, !a/keep, a/keep2 " +
+       "(the VERDICT r04 divergence case)") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq("a/x.txt", "a/keep", "a/keep2", "b/y.txt").toDF("path")
+    val rules = Discovery.gitignoreRules("a/*\n!a/keep\na/keep2\n")
+    val kept = files.where(!Discovery.gitignoreExcludedColumn(rules))
+      .collect().map(_.getString(0)).toSet
+    // a/keep re-included by the negation; a/keep2 matches the negation?
+    // no — `!a/keep` matches only the keep file (dir-or-exact semantics
+    // give `a/keep(/.*)?`); a/keep2 is re-excluded by the final line
+    // anyway; b/y.txt never matched
+    assert(kept === Set("a/keep", "b/y.txt"))
   }
 
   test("excludePathFilter composes gitignore patterns: excludes, " +
