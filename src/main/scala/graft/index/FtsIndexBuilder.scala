@@ -59,7 +59,14 @@ object FtsIndexBuilder {
         * shuffle overhead for mid/high-df terms) at the cost of coarser
         * map-side combine granularity. Segment bytes depend on this value
         * — keep it stable across resume runs of one build. */
-      bucketBlocks: Int = 32)
+      bucketBlocks: Int = 32,
+      /** Tantivy-regime 1-byte fieldnorms ([[Fieldnorm]], SURVEY §7.3
+        * risk 1): round-trip every posting's dl through the quantized
+        * code at BUILD time, so all query paths score the quantized
+        * length with no score-path branching. Off by default — exact
+        * lengths, the documented deviation. Keep stable across
+        * resume/delta runs of one index. */
+      quantizeNorms: Boolean = false)
 
   final case class BuildReport(version: String, nDocs: Long,
                                shardsBuilt: Seq[Int], shardsSkipped: Seq[Int])
@@ -535,10 +542,11 @@ object FtsIndexBuilder {
     val codeAn = cfg.codeAnalyzers
     val ngrams = cfg.prefixNgrams
     val bucketDocs = cfg.bucketBlocks.toLong * cfg.blockSize
+    val quantNorms = cfg.quantizeNorms
     docs.select($"shard", $"doc_id", $"content", $"ids")
       .as[(Int, Long, String, Seq[String])]
       .mapPartitions { it =>
-        runIterator(it, indexRaw, codeAn, ngrams, bucketDocs)
+        runIterator(it, indexRaw, codeAn, ngrams, bucketDocs, quantNorms)
       }
       .toDF("shard", "field", "term", "bucket", "first_doc", "n",
         "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes")
@@ -547,7 +555,8 @@ object FtsIndexBuilder {
   private def runIterator(
       docsIt: Iterator[(Int, Long, String, Seq[String])],
       indexRaw: Boolean, codeAn: Boolean, ngrams: Boolean,
-      bucketDocs: Long): Iterator[RunRow] = new Iterator[RunRow] {
+      bucketDocs: Long,
+      quantNorms: Boolean = false): Iterator[RunRow] = new Iterator[RunRow] {
     // one map PER FIELD, keyed by the (partition-interned) term String —
     // no (field, term) Tuple2 allocation per (doc, term) lookup
     private val fieldNames = Array(FieldContent, FieldRaw, FieldIdent)
@@ -589,14 +598,20 @@ object FtsIndexBuilder {
       val b = id / bucketDocs
       if (sh != curShard || b != curBucket || id <= lastDoc) flush()
       curShard = sh; curBucket = b; lastDoc = id
-      val (cMap, rMap, dl) = scanContent(content, indexRaw, pool)
+      val (cMap, rMap, dl0) = scanContent(content, indexRaw, pool)
+      // quantized norms are baked into the postings at build time, so
+      // every query path scores the same (quantized) length
+      val dl = if (quantNorms) Fieldnorm.quantize(dl0) else dl0
       cMap.foreachEntry((t, acc) =>
         addPosting(0, t, id, dl, acc.n, acc.toBytes))
       if (rMap != null)
         rMap.foreachEntry((t, acc) =>
           addPosting(1, t, id, dl, acc.n, acc.toBytes))
       val identToks = Tokenizer.identifierFieldTokens(ids, codeAn, ngrams)
-      combine(sh, FieldIdent, id, identToks.size.toLong, identToks.iterator)
+      val identDl =
+        if (quantNorms) Fieldnorm.quantize(identToks.size.toLong)
+        else identToks.size.toLong
+      combine(sh, FieldIdent, id, identDl, identToks.iterator)
         .foreach { case (_, _, t, _, dli, tfi, pb) =>
           addPosting(2, t, id, dli, tfi, pb)
         }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Fixtures
+import graft.index.{Fieldnorm, FtsIndexBuilder}
+import graft.query.{FtsIndex, FtsQuery, FtsQueryCache}
+
+/** 1-byte fieldnorm quantization (SURVEY §7.3 risk 1; VERDICT r04 #7):
+  * the encoder's invariants, and the differential property that matters —
+  * top-k RANKING on the reference query battery is stable between the
+  * exact-norm and quantized-norm builds, on every query path. */
+class FieldnormSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("quantizer invariants: exact below the free range, monotone " +
+       "non-decreasing, idempotent, byte-bounded") {
+    // exact small norms (Lucene SmallFloat: 24 free values)
+    (0 until 24).foreach(i => assert(Fieldnorm.quantize(i.toLong) === i.toLong))
+    // idempotent: a quantized value is its own quantization
+    val probes = Seq(0L, 1L, 23L, 24L, 100L, 1000L, 123456L, 10000000L,
+      Int.MaxValue.toLong, Long.MaxValue)
+    probes.foreach { v =>
+      val q = Fieldnorm.quantize(v)
+      assert(Fieldnorm.quantize(q) === q, s"not idempotent at $v")
+    }
+    // monotone over a dense sweep + code stays in one byte
+    var prev = -1L
+    (0 until 100000).foreach { i =>
+      val q = Fieldnorm.quantize(i.toLong)
+      assert(q >= prev, s"non-monotone at $i")
+      prev = q
+      val code = Fieldnorm.intToByte4(i)
+      assert(code >= 0 && code <= 255, s"code out of byte range at $i")
+    }
+    // round-trip error stays within the 4-significant-bit envelope
+    (24 until 100000 by 7).foreach { i =>
+      val q = Fieldnorm.quantize(i.toLong).toDouble
+      assert(q <= i && q > i * 0.85,
+        s"quantized $q too far below $i")
+    }
+  }
+
+  test("differential: quantized-norm build ranks the reference battery " +
+       "identically to the exact build, on all three query paths") {
+    val corpus = Fixtures.corpusA ++ Fixtures.corpusB
+    val cfgEx = FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4)
+    val cfgQ = cfgEx.copy(quantizeNorms = true)
+    val rootEx = TestSpark.tempDir("fn_exact")
+    val rootQ = TestSpark.tempDir("fn_quant")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(corpus), rootEx, cfgEx)
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(corpus), rootQ, cfgQ)
+    val ex = new FtsIndex(spark, rootEx).warm()
+    val qu = new FtsIndex(spark, rootQ).warm()
+    val cacheQ = new FtsQueryCache(qu)
+    val battery = Seq(
+      FtsQuery("authenticate", limit = 10),
+      FtsQuery("def", limit = 10),
+      FtsQuery("def authenticate", limit = 10),
+      FtsQuery("CONFIG", caseSensitive = true, limit = 10),
+      FtsQuery("authenticat", editDistance = 1, limit = 10),
+      FtsQuery("def", languages = Seq("python"), limit = 10))
+    battery.foreach { q =>
+      val exact = ex.searchCollected(q).map(_.doc_id)
+      assert(exact.nonEmpty, s"battery query '${q.text}' matched nothing")
+      assert(qu.searchCollected(q).map(_.doc_id) === exact,
+        s"quantized cluster ranking diverged for '${q.text}'")
+      assert(qu.searchWand(q).map(_.doc_id) === exact,
+        s"quantized WAND ranking diverged for '${q.text}'")
+      assert(cacheQ.search(q).map(_.doc_id) === exact,
+        s"quantized cached ranking diverged for '${q.text}'")
+    }
+    ex.cool(); qu.cool()
+    // the flag is not a no-op on this corpus: at least one doc's length
+    // must actually quantize to a different value
+    val exactDl = corpus.map(d =>
+      graft.analysis.Tokenizer.tokenize(d.content).size.toLong)
+    assert(exactDl.exists(dl => Fieldnorm.quantize(dl) != dl),
+      "fixture corpus has no doc long enough to exercise quantization")
+  }
+}
