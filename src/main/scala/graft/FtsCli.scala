@@ -22,6 +22,17 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *   graft.FtsCli delete <keysParquet> <indexDir>    (keys: repo, path)
   *   graft.FtsCli fold <indexDir>                    (tiered delta compaction)
   *   graft.FtsCli compact <indexDir>                 (full rebuild of live set)
+  *   graft.FtsCli ann-build <embParquet> <annDir> [--cells N] [--probe N]
+  *     (build + persist the IVF serving index: versioned centroids +
+  *      cell-partitioned assignment, atomic pointer)
+  *   graft.FtsCli ann-query <annDir> <embParquet> <vecId> [--k N]
+  *     (reopen from disk — zero clustering jobs — and run a cosine top-k
+  *      using vector <vecId> as the query; the reference's embedding
+  *      provider is out of scope, so the query vector comes from the table)
+  *   graft.FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId>
+  *     [--limit N] [--k N]
+  *     (the reference's `cidx query --hybrid` analog: FTS + semantic run
+  *      concurrently, results displayed SEPARATELY — no score fusion)
   */
 object FtsCli {
 
@@ -120,12 +131,83 @@ object FtsCli {
       graft.index.FtsDeltas.compact(spark, indexDir)
       println("Compacted to a fresh version (== full rebuild)")
 
+    case "ann-build" :: embParquet :: annDir :: rest =>
+      var cells = 64
+      var probe = 8
+      def parseAnn(as: List[String]): Unit = as match {
+        case Nil =>
+        case "--cells" :: n :: t => cells = n.toInt; parseAnn(t)
+        case "--probe" :: n :: t => probe = n.toInt; parseAnn(t)
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unknown flag $other")
+      }
+      parseAnn(rest)
+      val ann = new graft.ops.AnnIndex(spark.read.parquet(embParquet),
+        nCells = cells, nProbe = probe)
+      val vDir = ann.save(annDir)
+      ann.close()
+      println(s"ANN index published at $vDir " +
+        s"($cells cells, probe $probe, cell-partitioned assignment)")
+
+    case "ann-query" :: annDir :: embParquet :: vecId :: rest =>
+      val k = rest match {
+        case Nil => 10
+        case "--k" :: n :: Nil => n.toInt
+        case other => throw new IllegalArgumentException(s"bad flags $other")
+      }
+      val ann = graft.ops.AnnIndex.load(spark, annDir)
+      val qv = queryVector(spark, embParquet, vecId.toLong)
+      println("Semantic Search Results\n")
+      ann.topKWarm(qv, k).zipWithIndex.foreach { case ((id, sim), i) =>
+        println(f"${i + 1}. vec_$id%d  cosine=$sim%.4f")
+      }
+      ann.close()
+
+    case "hybrid" :: indexDir :: annDir :: text :: embParquet :: vecId :: rest =>
+      var limit = 10
+      var k = 10
+      def parseHy(as: List[String]): Unit = as match {
+        case Nil =>
+        case "--limit" :: n :: t => limit = n.toInt; parseHy(t)
+        case "--k" :: n :: t => k = n.toInt; parseHy(t)
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unknown flag $other")
+      }
+      parseHy(rest)
+      val rel = new graft.query.ReloadingFtsIndex(spark, indexDir)
+      val ann = graft.ops.AnnIndex.load(spark, annDir)
+      val qv = queryVector(spark, embParquet, vecId.toLong)
+      val r = graft.query.Hybrid.search(rel, ann, qv,
+        FtsQuery(text, limit = limit), kSemantic = k)
+      // both lists, side by side — the reference fuses nothing
+      render(r.fts, quiet = false)
+      println("Semantic Search Results\n")
+      r.semantic.zipWithIndex.foreach { case (h, i) =>
+        println(f"${i + 1}. vec_${h.vec_id}%d  cosine=${h.sim}%.4f")
+      }
+      ann.close()
+
     case _ =>
       System.err.println("usage: FtsCli index <sourceParquet> <indexDir> | " +
         "FtsCli query <indexDir> <text> [flags] | " +
         "FtsCli upsert|delete <parquet> <indexDir> | " +
-        "FtsCli fold|compact <indexDir>")
+        "FtsCli fold|compact <indexDir> | " +
+        "FtsCli ann-build <embParquet> <annDir> [--cells N] [--probe N] | " +
+        "FtsCli ann-query <annDir> <embParquet> <vecId> [--k N] | " +
+        "FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId> [flags]")
       sys.exit(2)
+  }
+
+  /** The query vector for ann-query/hybrid: row <vecId> of the embeddings
+    * table (the engine-side contract starts from the query vector —
+    * SURVEY §0 scopes the embedding provider out). */
+  private def queryVector(spark: SparkSession, embParquet: String,
+                          vecId: Long): Array[Float] = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(embParquet)
+      .where(col("vec_id") === vecId).select("embedding").collect()
+    require(rows.nonEmpty, s"vec_id $vecId not found in $embParquet")
+    rows(0).getSeq[Float](0).toArray
   }
 
   /** Reference display format (cli.py:638-707, minus terminal colors). */

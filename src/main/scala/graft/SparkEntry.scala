@@ -44,6 +44,7 @@ object SparkEntry {
     "fts_engine_prod_phrase" -> Queries.engineProdPhrase,
     "fts_engine_fuzzy" -> Queries.engineFuzzy,
     "fts_engine_regex" -> Queries.engineRegex,
+    "fts_engine_qnorm" -> Queries.engineQnorm,
     "t5_chunks" -> Queries.semanticChunks,
   ) ++ graft.ops.OpsQueries.all ++ graft.sources.DiscoveryQueries.all
 
@@ -257,6 +258,36 @@ object Queries {
           .cast("long").as("doc_id"),
         round(col("score"), 4).as("score"))
 
+  /** QUANTIZED-NORM engine (round-5): the same content-only config with
+    * Config.quantizeNorms on — every posting's dl is round-tripped
+    * through the Lucene-SmallFloat 1-byte code at build time (the
+    * Tantivy 1-byte-fieldnorm regime, SURVEY §7.3 risk 1). The oracle
+    * twin reproduces the quantizer in SQL (exact below 32, then 4
+    * significant bits), pinning quantized BM25 end to end. */
+  private val engineQnormCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FtsIndex]()
+
+  private def engineQnormIndex(s: SparkSession, dir: String): FtsIndex =
+    engineQnormCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fts_verify_qnorm").toString
+      val corpus = corpusDf(s, dir)
+        .withColumn("identifiers", array().cast("array<string>"))
+      FtsIndexBuilder.build(s, corpus, root,
+        FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 8,
+          codeAnalyzers = false, indexRawField = false,
+          quantizeNorms = true))
+      new FtsIndex(s, root).warm()
+    })
+
+  val engineQnorm: (SparkSession, String) => DataFrame = (s, dir) =>
+    engineQnormIndex(s, dir)
+      .search(FtsQuery("merge", snippetLines = 0, limit = 10))
+      .select(
+        regexp_extract(col("path"), "file_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+
   /** Same query through the block-max WAND scorer — the pruned path must
     * be DuckDB-identical to the exhaustive SQL. */
   val engineWand: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -321,6 +352,45 @@ object OracleQueries {
        |  FROM postings p
        |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
        |  JOIN doclen l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  WHERE p.term IN ($termsSqlList)
+       |  GROUP BY 1
+       |) WHERE nmatch = $nTerms
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+
+  /** BM25 over QUANTIZED doc lengths — the SQL twin of
+    * [[graft.index.Fieldnorm.quantize]]: exact below 32 (24 free values +
+    * the 3-bit-exact range), then 4 significant bits
+    * (v = dl - 24; shift = floor(log2 v) - 3; 24 + ((v>>shift & 7 | 8)
+    * << shift)). avgdl stays EXACT (the engine derives it from token
+    * totals, which quantization does not touch); only the per-posting dl
+    * is quantized — the same asymmetry as Lucene/Tantivy. The shift is
+    * clamped so the unused CASE branch is total under eager vectorized
+    * evaluation. */
+  private def qnormTopK(termsSqlList: String, nTerms: Int, k: Int): String =
+    s"""$base,
+       |qsh AS (
+       |  SELECT doc_id, dl,
+       |    greatest(CAST(floor(log2(CAST(greatest(dl - 24, 1) AS DOUBLE)))
+       |      AS BIGINT) - 3, 0) AS sh
+       |  FROM doclen
+       |),
+       |qdoclen AS (
+       |  SELECT doc_id,
+       |    CASE WHEN dl < 32 THEN dl
+       |         ELSE 24 + (((((dl - 24) >> sh) & 7) | 8) << sh)
+       |    END AS dl
+       |  FROM qsh
+       |)
+       |SELECT doc_id, round(score, 4) AS score FROM (
+       |  SELECT p.doc_id,
+       |    sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score,
+       |    count(*) AS nmatch
+       |  FROM postings p
+       |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+       |  JOIN qdoclen l USING (doc_id)
        |  CROSS JOIN stats s
        |  WHERE p.term IN ($termsSqlList)
        |  GROUP BY 1
@@ -580,6 +650,7 @@ object OracleQueries {
 
     // the on-disk segment engine must reproduce the pure-SQL BM25 exactly
     "fts_engine_single" -> bm25TopK("'merge'", 1, 10),
+    "fts_engine_qnorm" -> qnormTopK("'merge'", 1, 10),
     "fts_engine_limit0" -> bm25TopK("'merge'", 1, 100000),
 
     "fts_engine_lang" ->

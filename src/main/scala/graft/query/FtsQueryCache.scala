@@ -76,6 +76,31 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
 
   private def lru[K, V](cap: Int) = graft.util.Lru[K, V](cap)
 
+  // hit-ratio statistics (the reference cache exposes the same counters,
+  // server/cache/fts_index_cache.py "hit-ratio stats"): how many searches
+  // were answered entirely on the driver vs routed to the cluster, and
+  // the posting-block LRU's hit ratio — LongAdders, so the hot path pays
+  // one striped increment, never a lock
+  private val warmServed = new java.util.concurrent.atomic.LongAdder
+  private val clusterRouted = new java.util.concurrent.atomic.LongAdder
+  private val blockHits = new java.util.concurrent.atomic.LongAdder
+  private val blockMisses = new java.util.concurrent.atomic.LongAdder
+
+  /** Cumulative serving counters of this cache instance. `blockHitRatio`
+    * is per (field, term) lookup across base+delta block fetches. */
+  final case class CacheStats(warmServed: Long, clusterRouted: Long,
+                              blockHits: Long, blockMisses: Long) {
+    def warmRatio: Double =
+      if (warmServed + clusterRouted == 0) 0.0
+      else warmServed.toDouble / (warmServed + clusterRouted)
+    def blockHitRatio: Double =
+      if (blockHits + blockMisses == 0) 0.0
+      else blockHits.toDouble / (blockHits + blockMisses)
+  }
+
+  def stats: CacheStats = CacheStats(warmServed.sum(), clusterRouted.sum(),
+    blockHits.sum(), blockMisses.sum())
+
   /** ONLY the inherited map references are captured — never the previous
     * cache object itself, which would pin its FtsIndex snapshot (dead
     * set, delta blocks, plans) and recursively every predecessor across
@@ -183,6 +208,8 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     val fullMiss = fts.filterNot(baseHits.contains)
     val deltaMiss =
       fts.filter(ft => baseHits.contains(ft) && !deltaHits.contains(ft))
+    blockHits.add(fts.size - fullMiss.size - deltaMiss.size)
+    blockMisses.add(fullMiss.size + deltaMiss.size)
     val (fetchedBase, fetchedDelta) =
       if (fullMiss.isEmpty && deltaMiss.isEmpty)
         (Map.empty[(String, String), Array[SegmentBlock]],
@@ -318,16 +345,31 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     true
   }
 
+  /** Route a query to the cluster WAND path (which falls back further),
+    * counting the fallback for [[stats]]. */
+  private def routeCluster(q: FtsQuery): Seq[SearchResult] = {
+    clusterRouted.increment()
+    idx.searchWand(q)
+  }
+
   /** Warm top-k search over cached state; see class doc for the supported
     * shapes. Falls back to [[FtsIndex.searchWand]] (which falls back
     * further) whenever a shape or budget rules the driver path out. */
   def search(q: FtsQuery): Seq[SearchResult] = {
+    val out = searchDriver(q)
+    if (out != null) { warmServed.increment(); out }
+    else routeCluster(q)
+  }
+
+  /** The driver-side path; null = route to the cluster (the counters and
+    * the single fallback call site live in [[search]]). */
+  private def searchDriver(q: FtsQuery): Seq[SearchResult] = {
     idx.validate(q)
     // live deltas: keep serving warm, filtering tombstoned docs out of
     // every scorer below; only an oversized dead set leaves the driver
     val dead: Wand.DeadSet = deadSet match {
       case Some(d) => d
-      case None => return idx.searchWand(q)
+      case None => return null
     }
     val nodes = expandLocal(buildNodes(q))
     if (nodes.isEmpty) return Nil
@@ -342,10 +384,10 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     // (e.g. regex ".*"), or a query whose SUMMED posting volume exceeds
     // the budget routes to the cluster — nothing index-sized is ever
     // collected to the driver
-    if (fts.size > maxQueryTerms) return idx.searchWand(q)
+    if (fts.size > maxQueryTerms) return null
     val dfs = dfsFor(fts)
     if (dfs.valuesIterator.exists(_ > maxDfCached) ||
-        dfs.valuesIterator.sum > maxQueryDf) return idx.searchWand(q)
+        dfs.valuesIterator.sum > maxQueryDf) return null
 
     val k = if (q.limit == 0) 100000 else q.limit
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
@@ -378,7 +420,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
         // belongs on the cluster — checked BEFORE the first pull too, so a
         // filtered limit=0 query (k=100000) never collects 3k candidates'
         // metadata through the driver (ADVICE r03 #3)
-        if (math.max(3 * k, 30) > maxOverpull) return idx.searchWand(q)
+        if (math.max(3 * k, 30) > maxOverpull) return null
         val pathMatch = PathGlob.anyMatcher(q.pathFilters)
         val pathExcl = PathGlob.anyMatcher(q.excludePathFilters)
         var kk = math.max(3 * k, 30)
@@ -392,7 +434,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
             }
           }
           if (kept.size >= k || exhausted) out = Some(kept.take(k))
-          else if (kk >= maxOverpull) return idx.searchWand(q)
+          else if (kk >= maxOverpull) return null
           else kk *= 4
         }
         out.get

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.Fixtures
 import graft.index.{FtsDeltas, FtsIndexBuilder}
-import graft.query.{FtsIndex, FtsQuery, Hybrid, MultiRepo, ReloadingFtsIndex}
+import graft.query.{FtsIndex, FtsQuery, FtsQueryCache, Hybrid, MultiRepo,
+  ReloadingFtsIndex}
 
 /** Round-5: delete publishes generations as atomically as upsert/fold,
   * the production hybrid serves its FTS half through the warm path with
@@ -149,6 +150,25 @@ class FtsRound5Spec extends AnyFunSuite {
       finally reloaded.close()
       assert(v2.contains("/v"))
     } finally built.close()
+  }
+
+  test("cache hit-ratio stats: warm serves, cluster routes, and block-LRU " +
+       "hits are counted (the reference cache's stats surface)") {
+    val root = freshIndex(Fixtures.corpusA)
+    val idx = new FtsIndex(spark, root).warm()
+    val cache = new FtsQueryCache(idx)
+    assert(cache.stats.warmServed === 0)
+    cache.search(FtsQuery("authenticate", limit = 5)) // cold: block misses
+    cache.search(FtsQuery("authenticate", limit = 5)) // hot: block hits
+    val s = cache.stats
+    assert(s.warmServed === 2 && s.clusterRouted === 0)
+    assert(s.blockMisses >= 1 && s.blockHits >= 1)
+    assert(s.warmRatio === 1.0 && s.blockHitRatio > 0.0)
+    // a query over the df budget routes to the cluster and is counted so
+    val tiny = new FtsQueryCache(idx, maxDfCached = 0)
+    tiny.search(FtsQuery("authenticate", limit = 5))
+    assert(tiny.stats.clusterRouted === 1 && tiny.stats.warmServed === 0)
+    idx.cool()
   }
 
   test("multi-repo fan-out isolation: a throwing repo and a stalling repo " +
