@@ -130,10 +130,16 @@ object FtsDeltas {
   }
 
   def upsert(spark: SparkSession, batch: DataFrame, root: String,
-             cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
-    require(cfg.nShards <= 4096,
-      s"delta doc-id namespace fits 4096 sub-shards, got ${cfg.nShards}")
+             cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
+    require(cfg0.nShards <= 4096,
+      s"delta doc-id namespace fits 4096 sub-shards, got ${cfg0.nShards}")
     val vDir = currentDir(spark, root)
+    // the norm regime comes from the INDEX, never the caller: a
+    // default-Config upsert into a quantized version must write
+    // quantized delta postings (and vice versa), or the same doc would
+    // score differently depending on which generation it lives in
+    val cfg = cfg0.copy(
+      quantizeNorms = FtsIndexBuilder.quantizedNorms(spark, vDir))
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val gen = nextGen(spark, vDir)
     // stage the WHOLE generation under a WRITER-UNIQUE name deltaDirs
@@ -259,8 +265,11 @@ object FtsDeltas {
     * Returns the folded generation number, or None when there is nothing
     * to fold (fewer than 2 generations). */
   def fold(spark: SparkSession, root: String,
-           cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Option[Int] = {
+           cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Option[Int] = {
     val vDir = currentDir(spark, root)
+    // folded segments must keep the version's norm regime (see upsert)
+    val cfg = cfg0.copy(
+      quantizeNorms = FtsIndexBuilder.quantizedNorms(spark, vDir))
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val deltaRoot = new Path(s"$vDir/deltas")
     if (!hfs.exists(deltaRoot)) return None
@@ -329,7 +338,10 @@ object FtsDeltas {
     * content (the MVCC segment-merge analog; reference atomic rebuild,
     * storage/background_index_rebuilder.py). */
   def compact(spark: SparkSession, root: String,
-              cfg: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Unit = {
+              cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Unit = {
+    // the fresh version inherits the retiring version's norm regime
+    val cfg = cfg0.copy(quantizeNorms =
+      FtsIndexBuilder.quantizedNorms(spark, currentDir(spark, root)))
     val idx = new graft.query.FtsIndex(spark, root)
     val lineCols =
       if (idx.effectiveDocs.columns.contains("line_start"))

@@ -74,6 +74,13 @@ object FtsIndexBuilder {
   private[graft] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Whether a published version dir was built with 1-byte quantized
+    * fieldnorms ([[Config.quantizeNorms]]) — the source of truth for
+    * every delta op writing into that version. */
+  private[graft] def quantizedNorms(spark: SparkSession,
+                                    vDir: String): Boolean =
+    fs(spark, vDir).exists(new Path(vDir, "QUANTIZED_NORMS"))
+
   /** Full (or resumed) index build from an ingest table with columns
     * (repo, path, commit, lang, content[, identifiers array<string>]). */
   private val timing = sys.env.contains("GRAFT_BUILD_TIMING")
@@ -217,11 +224,27 @@ object FtsIndexBuilder {
         avgdl(FieldRaw), avgdl(FieldIdent))))
       .toDF("n_docs", "avgdl_content", "avgdl_raw", "avgdl_ident")
       .write.mode("overwrite").parquet(s"$vDir/stats")
+    // the norm regime is INDEX state, not caller state: a marker file in
+    // the version dir lets delta ops (upsert/fold/compact) reproduce it
+    // without every caller re-supplying the flag — a default-Config fold
+    // on a quantized index must not silently mix exact and quantized
+    // generations
+    if (cfg.quantizeNorms)
+      hfs.create(new Path(vDir, "QUANTIZED_NORMS"), true).close()
     hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
-    // atomic current-pointer swap: rename-with-overwrite via FileContext —
-    // no delete-then-rename window in which a concurrent reader sees no
-    // `current` at all (reference os.rename-over-existing semantics,
-    // tantivy_index_manager.py:1037-1136)
+    publishPointer(spark, root, version)
+    if (timing) println(f"[timing] finalize ${(System.nanoTime() - tFin) / 1e9}%.2fs")
+    nDocs
+  }
+
+  /** Atomic `current`-pointer swap shared by every versioned index root
+    * (FTS and ANN): rename-with-overwrite via FileContext — no
+    * delete-then-rename window in which a concurrent reader sees no
+    * `current` at all (reference os.rename-over-existing semantics,
+    * tantivy_index_manager.py:1037-1136). */
+  private[graft] def publishPointer(spark: SparkSession, root: String,
+                                    version: String): Unit = {
+    val hfs = fs(spark, root)
     val tmp = new Path(root, s"current.tmp.$version")
     val out = hfs.create(tmp, true)
     out.write(version.getBytes("UTF-8")); out.close()
@@ -230,8 +253,6 @@ object FtsIndexBuilder {
       new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(cur),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    if (timing) println(f"[timing] finalize ${(System.nanoTime() - tFin) / 1e9}%.2fs")
-    nDocs
   }
 
   /** Per-posting accumulator used during the doc-local combine. The

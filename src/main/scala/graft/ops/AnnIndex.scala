@@ -179,7 +179,11 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
   def save(root: String): String = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val version = s"v${System.currentTimeMillis()}"
+    // millis + random suffix: two publishes in the same millisecond (or
+    // from clock-skewed writers) can never share a version dir — a
+    // published version is immutable, only the pointer ever moves
+    val version = s"v${System.currentTimeMillis()}" +
+      s"_${java.util.UUID.randomUUID.toString.take(8)}"
     val vDir = s"$root/$version"
     centroids.toSeq.map { case (c, ce) => (c, ce.toSeq) }
       .toDF("cell", "centroid")
@@ -191,15 +195,8 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = new Path(root).getFileSystem(conf)
     hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
-    // atomic current-pointer swap (rename-with-overwrite via FileContext,
-    // same as the FTS builder: no window where a reader sees no pointer)
-    val tmp = new Path(root, s"current.tmp.$version")
-    val out = hfs.create(tmp, true)
-    out.write(version.getBytes("UTF-8")); out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, conf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(root, "current")),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // atomic current-pointer swap shared with the FTS builder
+    graft.index.FtsIndexBuilder.publishPointer(spark, root, version)
     vDir
   }
 

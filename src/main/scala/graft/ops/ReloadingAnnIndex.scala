@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Long-lived handle over a saved [[AnnIndex]] root that reloads on
+  * access when the `current` pointer moves (a new [[AnnIndex.save]]
+  * published) — the ANN analog of [[graft.query.ReloadingFtsIndex]],
+  * completing the serving symmetry between the two index families.
+  * Staleness is one pointer read (a file-metadata call, no Spark job);
+  * the stale index's driver cell cache is released on swap. */
+class ReloadingAnnIndex(spark: SparkSession, root: String,
+                        nProbe: Int = 8, maxCachedCells: Int = 64) {
+
+  @volatile private var curVersion: String = readPointer()
+  @volatile private var cur: AnnIndex =
+    AnnIndex.load(spark, root, nProbe, maxCachedCells)
+
+  private def readPointer(): String = {
+    val hfs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(new Path(root, "current"))
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+  }
+
+  /** The current (fresh) index, reloading first if a newer version was
+    * published. */
+  def index: AnnIndex = {
+    val v = readPointer()
+    if (v != curVersion) synchronized {
+      if (v != curVersion) {
+        val stale = cur
+        cur = AnnIndex.load(spark, root, nProbe, maxCachedCells)
+        curVersion = v
+        stale.close() // release the stale driver cell cache
+      }
+    }
+    cur
+  }
+
+  /** The loaded version id (test hook). */
+  private[graft] def currentVersion: String = curVersion
+
+  def topK(queryVec: Array[Float], k: Int): Seq[(Long, Double)] =
+    index.topK(queryVec, k)
+
+  def topKWarm(queryVec: Array[Float], k: Int): Seq[(Long, Double)] =
+    index.topKWarm(queryVec, k)
+
+  def close(): Unit = cur.close()
+}

@@ -59,16 +59,9 @@ object MultiRepo {
                 parallelism: Int = 4): MultiSearchOutcome = {
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
     if (searchers.isEmpty) return MultiSearchOutcome(Map.empty, Map.empty)
-    val tf = new java.util.concurrent.ThreadFactory {
-      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-      def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"graft-multirepo-${n.getAndIncrement()}")
-        t.setDaemon(true)
-        t
-      }
-    }
     val pool = Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, searchers.size)), tf)
+      math.max(1, math.min(parallelism, searchers.size)),
+      graft.util.Threads.namedDaemonFactory("graft-multirepo"))
     try {
       val deadline = System.nanoTime() + timeout.toNanos
       val futures = searchers.toSeq.sortBy(_._1).map { case (repo, f) =>

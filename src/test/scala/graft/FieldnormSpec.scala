@@ -79,4 +79,35 @@ class FieldnormSpec extends AnyFunSuite {
     assert(exactDl.exists(dl => Fieldnorm.quantize(dl) != dl),
       "fixture corpus has no doc long enough to exercise quantization")
   }
+
+  test("the norm regime is INDEX state: a default-Config upsert into a " +
+       "quantized index writes quantized delta postings, and compact " +
+       "keeps the regime on the fresh version") {
+    import org.apache.spark.sql.functions.col
+    val root = TestSpark.tempDir("fn_regime")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusA), root,
+      FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4,
+        quantizeNorms = true))
+    // 100 tokens: quantize(100) = 96, so an exact-norm delta would be
+    // detectable
+    val longDoc = (1 to 100).map(i => s"regimeword$i").mkString(" ")
+    graft.index.FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/regime.py", "r1" * 20, "python",
+        longDoc, Nil))), root) // DEFAULT Config — no quantizeNorms passed
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val seg = spark.read.parquet(s"$vDir/deltas/d1/segments")
+      .where(col("field") === "content" && col("term") === "regimeword1")
+      .select("n", "dl_bytes").collect()
+    assert(seg.nonEmpty)
+    val dls = seg.flatMap(r => graft.index.Codec.decodeVarints(
+      r.getAs[Array[Byte]]("dl_bytes"), r.getInt(0)))
+    assert(dls.nonEmpty && dls.forall(_ === 96L),
+      s"delta postings must carry the QUANTIZED dl 96, got ${dls.toSeq}")
+    // compact (default Config) rebuilds a fresh version — still quantized
+    graft.index.FtsDeltas.compact(spark, root)
+    val vDir2 = FtsIndexBuilder.currentVersionDir(spark, root)
+    assert(vDir2 !== vDir)
+    assert(FtsIndexBuilder.quantizedNorms(spark, vDir2),
+      "compact dropped the quantized-norm regime")
+  }
 }

@@ -140,8 +140,11 @@ class FtsRound5Spec extends AnyFunSuite {
         val plan = loadedIdx.assigned
           .where(org.apache.spark.sql.functions.col("cell").isin(cells: _*))
           .queryExecution.executedPlan.toString
-        assert(plan.contains("PartitionFilters") &&
-          plan.contains("cell"), s"probe scan not partition-pruned:\n$plan")
+        // the cell predicate must land INSIDE the PartitionFilters bracket
+        // (an empty "PartitionFilters: []" + cell in the schema would
+        // satisfy a naive contains() while scanning every partition)
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+          s"probe scan not partition-pruned:\n$plan")
       } finally loadedIdx.close()
       // a second save publishes a NEW version and the pointer follows it
       val v2 = built.save(root)
@@ -150,6 +153,27 @@ class FtsRound5Spec extends AnyFunSuite {
       finally reloaded.close()
       assert(v2.contains("/v"))
     } finally built.close()
+  }
+
+  test("ReloadingAnnIndex swaps to a newly published version on access " +
+       "(the ANN analog of ReloadingFtsIndex)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = TestSpark.tempDir("ann_reload")
+    val b1 = new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 4)
+    b1.save(root)
+    val rel = new graft.ops.ReloadingAnnIndex(spark, root, nProbe = 4)
+    val v1 = rel.currentVersion
+    val qv = emb.where(col("vec_id") === 1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    assert(rel.topKWarm(qv, 5) === b1.topK(qv, 5))
+    // a second publish with a different cell count must swap in on access
+    val b2 = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 4)
+    b2.save(root)
+    assert(rel.index.nCells === 8)
+    assert(rel.currentVersion !== v1)
+    assert(rel.topKWarm(qv, 5) === b2.topK(qv, 5))
+    b1.close(); b2.close(); rel.close()
   }
 
   test("cache hit-ratio stats: warm serves, cluster routes, and block-LRU " +
