@@ -378,6 +378,32 @@ object Bench {
         val th = (0 until reps).flatMap(_ => hybridQs.map(q => timeS(
           graft.query.Hybrid.search(rel, ann, qvs.head, q, 10))._2)).sorted
         qtimes("q_hybrid_p50") = th(th.size / 2)
+
+        // concurrent hybrid serving: 8 threads issue hybrid queries at
+        // once — the cached per-request pool must not serialize them
+        // (a fixed 2-thread singleton would head-of-line-block here)
+        {
+          import scala.jdk.CollectionConverters._
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val tasks = (0 until 8).map { _ =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit =
+                (0 until reps).foreach(_ => hybridQs.foreach { q =>
+                  lat.add(timeS(
+                    graft.query.Hybrid.search(rel, ann, qvs.head, q, 10))._2)
+                })
+            }
+          }
+          val t0 = System.nanoTime()
+          pool.invokeAll(tasks.asJava.asInstanceOf[
+            java.util.Collection[java.util.concurrent.Callable[Unit]]])
+          val wall = (System.nanoTime() - t0) / 1e9
+          pool.shutdown()
+          val ts = lat.asScala.toSeq.sorted
+          qtimes("q_hybrid_hot8_p50") = ts(ts.size / 2)
+          qtimes("q_hybrid_hot8_qps") = ts.size / wall
+        }
         ann.close()
       }
     } finally if (spark != null) spark.stop()

@@ -33,6 +33,12 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *     [--limit N] [--k N]
   *     (the reference's `cidx query --hybrid` analog: FTS + semantic run
   *      concurrently, results displayed SEPARATELY — no score fusion)
+  *   graft.FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]
+  *     (the reference's `cidx watch` analog: tail a directory for parquet
+  *      drops of (repo, path, commit, lang, content) rows — each
+  *      microbatch becomes one atomic delta generation; empty/null
+  *      content rows are deletions; auto-fold keeps generations O(1).
+  *      Runs until Ctrl-C.)
   */
 object FtsCli {
 
@@ -187,6 +193,33 @@ object FtsCli {
       }
       ann.close()
 
+    case "watch" :: dropDir :: indexDir :: rest =>
+      var checkpoint: Option[String] = None
+      var foldEvery = 16
+      def parseW(as: List[String]): Unit = as match {
+        case Nil =>
+        case "--checkpoint" :: d :: t => checkpoint = Some(d); parseW(t)
+        case "--fold" :: n :: t => foldEvery = n.toInt; parseW(t)
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unknown flag $other")
+      }
+      parseW(rest)
+      // the drop dir's schema comes from the files already present (or
+      // the canonical ingest schema when the dir starts empty)
+      val schema =
+        try spark.read.parquet(dropDir).schema
+        catch {
+          case _: Exception => org.apache.spark.sql.types.StructType.fromDDL(
+            "repo string, path string, commit string, lang string, " +
+              "content string")
+        }
+      val stream = spark.readStream.schema(schema).parquet(dropDir)
+      val q = graft.streaming.FtsStream.start(stream, indexDir,
+        checkpointDir = checkpoint, foldEvery = foldEvery)
+      println(s"Watching $dropDir -> $indexDir " +
+        s"(fold every $foldEvery generations; Ctrl-C to stop)")
+      q.awaitTermination()
+
     case _ =>
       System.err.println("usage: FtsCli index <sourceParquet> <indexDir> | " +
         "FtsCli query <indexDir> <text> [flags] | " +
@@ -194,7 +227,8 @@ object FtsCli {
         "FtsCli fold|compact <indexDir> | " +
         "FtsCli ann-build <embParquet> <annDir> [--cells N] [--probe N] | " +
         "FtsCli ann-query <annDir> <embParquet> <vecId> [--k N] | " +
-        "FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId> [flags]")
+        "FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId> [flags] | " +
+        "FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]")
       sys.exit(2)
   }
 

@@ -195,6 +195,44 @@ class FtsRound5Spec extends AnyFunSuite {
     idx.cool()
   }
 
+  test("reload-while-serving: concurrent cached queries survive snapshot " +
+       "swaps and cool() of the stale snapshot (ADVICE r04 #1 — the " +
+       "dead-set broadcast is unpersisted, never destroyed)") {
+    val root = freshIndex(Fixtures.corpusA ++ Fixtures.corpusB)
+    // give the snapshot a dead-set broadcast: one delta generation with a
+    // superseding upsert
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+      Fixtures.Doc("test_repo", "src/auth.py", "s1" * 20, "python",
+        "def authenticate_user(): return swap_base", Nil))), root, cfg)
+    val rel = new ReloadingFtsIndex(spark, root)
+    val q = FtsQuery("authenticate", limit = 5)
+    assert(rel.searchCached(q).nonEmpty)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readers = (0 until 4).map { _ =>
+      val t = new Thread(() => {
+        try while (!stop.get()) { rel.searchCached(q); rel.searchWand(q) }
+        catch { case e: Throwable => failed.compareAndSet(null, e) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    // three reload cycles under live readers: each upsert moves the
+    // fingerprint; the next access swaps and cools the stale snapshot
+    // (with destroy() this threw SparkException on in-flight queries)
+    (2 to 4).foreach { i =>
+      FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(
+        Fixtures.Doc("test_repo", "src/auth.py", s"s$i" * 20, "python",
+          s"def authenticate_user(): return swap_$i", Nil))), root, cfg)
+      rel.index // trigger the swap
+      Thread.sleep(150)
+    }
+    stop.set(true)
+    readers.foreach(_.join(10000))
+    assert(failed.get() == null,
+      s"a reader failed during reload: ${failed.get()}")
+    assert(rel.searchCached(q).nonEmpty)
+  }
+
   test("multi-repo fan-out isolation: a throwing repo and a stalling repo " +
        "become error entries; healthy repos return intact (Q16)") {
     import scala.concurrent.duration._

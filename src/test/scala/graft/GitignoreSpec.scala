@@ -122,6 +122,48 @@ class GitignoreSpec extends AnyFunSuite {
     assert(kept === Set("src/app.py", "keep.log", "other/bundle/x.js"))
   }
 
+  test("seeded fuzz: gitignoreExcludedColumn equals a driver-side " +
+       "last-match-wins reference evaluator on random rules and paths") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val segs = Seq("src", "a", "b", "keep", "deep", "x1", "y2")
+    val exts = Seq("go", "py", "js", "log")
+    def randPath(): String =
+      (0 until (1 + rnd.nextInt(3))).map(_ => segs(rnd.nextInt(segs.size)))
+        .mkString("/") + "." + exts(rnd.nextInt(exts.size))
+    def randPattern(): String = {
+      val base = rnd.nextInt(5) match {
+        case 0 => s"*.${exts(rnd.nextInt(exts.size))}"
+        case 1 => segs(rnd.nextInt(segs.size)) + "/"
+        case 2 => s"/${segs(rnd.nextInt(segs.size))}"
+        case 3 => s"**/${segs(rnd.nextInt(segs.size))}/*"
+        case _ => s"${segs(rnd.nextInt(segs.size))}/" +
+          s"${segs(rnd.nextInt(segs.size))}*"
+      }
+      base
+    }
+    (0 until 25).foreach { round =>
+      val rules = (0 until (2 + rnd.nextInt(6))).map(_ =>
+        Discovery.GitignoreRule(randPattern(), rnd.nextBoolean()))
+      val paths = (0 until 40).map(_ => randPath()).distinct
+      // driver-side reference: literal last-match-wins over the rule list
+      val matchers = rules.map(r =>
+        (PathGlob.anyMatcher(Seq(r.pattern)), r.negation))
+      def refExcluded(p: String): Boolean =
+        matchers.foldLeft(false) { case (acc, (m, neg)) =>
+          if (m(p)) !neg else acc
+        }
+      val kept = paths.toDF("path")
+        .where(!Discovery.gitignoreExcludedColumn(rules))
+        .collect().map(_.getString(0)).toSet
+      val refKept = paths.filterNot(refExcluded).toSet
+      assert(kept === refKept,
+        s"round $round diverged for rules=$rules\n" +
+          s"column-only=${kept -- refKept} ref-only=${refKept -- kept}")
+    }
+  }
+
   test("multi-repo tables: one repo's gitignore rules never filter " +
        "another repo's files") {
     val sp = spark
