@@ -61,11 +61,11 @@ class FtsDifferentialFuzzSpec extends AnyFunSuite {
     base.copy(limit = Seq(0, 3, 10)(rng.nextInt(3)))
   }
 
-  test("random corpus x random queries: exhaustive == WAND == cached " +
-       "(docs exact, scores to fp tolerance)") {
+  private def threeWayBattery(buildCfg: FtsIndexBuilder.Config,
+                              tag: String): Unit = {
     val docs = (0 until 40).map(randDoc)
-    val root = TestSpark.tempDir("fuzz")
-    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, cfg)
+    val root = TestSpark.tempDir(s"fuzz$tag")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(docs), root, buildCfg)
     val idx = new FtsIndex(spark, root).warm()
     val cache = new graft.query.FtsQueryCache(idx)
 
@@ -76,15 +76,27 @@ class FtsDifferentialFuzzSpec extends AnyFunSuite {
       val wand = idx.searchWand(q).map(r => (r.doc_id, r.score))
       val cached = cache.search(q).map(r => (r.doc_id, r.score))
       if (ex.nonEmpty) nonEmpty += 1
-      assert(wand.map(_._1) === ex.map(_._1), s"WAND docs for $q")
-      assert(cached.map(_._1) === ex.map(_._1), s"cached docs for $q")
+      assert(wand.map(_._1) === ex.map(_._1), s"WAND docs for $q ($tag)")
+      assert(cached.map(_._1) === ex.map(_._1), s"cached docs for $q ($tag)")
       wand.zip(ex).foreach { case (a, b) =>
-        assert(math.abs(a._2 - b._2) < 1e-8, s"WAND score for $q") }
+        assert(math.abs(a._2 - b._2) < 1e-8, s"WAND score for $q ($tag)") }
       cached.zip(ex).foreach { case (a, b) =>
-        assert(math.abs(a._2 - b._2) < 1e-8, s"cached score for $q") }
+        assert(math.abs(a._2 - b._2) < 1e-8, s"cached score for $q ($tag)") }
     }
     // the battery must actually exercise matching queries
     assert(nonEmpty >= 10, s"only $nonEmpty of ${queries.size} queries matched")
+    idx.cool()
+  }
+
+  test("random corpus x random queries: exhaustive == WAND == cached " +
+       "(docs exact, scores to fp tolerance)") {
+    threeWayBattery(cfg, "ex")
+  }
+
+  test("random corpus x random queries under QUANTIZED fieldnorms: the " +
+       "three paths stay identical to each other (all score the same " +
+       "1-byte dl baked into the postings)") {
+    threeWayBattery(cfg.copy(quantizeNorms = true), "qn")
   }
 
   test("delta churn fuzz: upserts, deletes and folds between query " +
