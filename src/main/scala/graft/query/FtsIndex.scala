@@ -818,7 +818,7 @@ object FtsIndex {
 
   /** Count of phrase alignments: positions where the terms appear at
     * consecutive offsets (tf of the phrase). */
-  private def phraseFreq(lists: Seq[Array[Int]]): Int = {
+  private[query] def phraseFreq(lists: Seq[Array[Int]]): Int = {
     val first = lists.head
     var count = 0
     var i = 0

@@ -158,6 +158,67 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private val decodedFts =
     lru[(String, String), Map[Long, (Long, Long, Array[Int])]](64)
 
+  /** One phrase's alignment, columnar: sorted doc ids + parallel phrase-tf
+    * and doc-length arrays — primitive arrays so the hot scoring loop
+    * never boxes a doc id or allocates per candidate. */
+  private final case class PhraseAlign(docs: Array[Long], pf: Array[Int],
+                                       dl: Array[Long])
+
+  /** LRU (field, terms) -> the phrase's ALIGNMENT (docs where the terms
+    * appear at consecutive positions, with phrase tf and dl). The
+    * position-adjacency sweep over two stopword-grade posting lists is
+    * what dominates hot phrase latency once decodes are cached — aligning
+    * once per (phrase, snapshot) turns repeat phrase queries into pure
+    * per-candidate arithmetic. Per-snapshot, like [[decodedFts]]. */
+  private val phraseAligns = lru[(String, List[String]), PhraseAlign](64)
+
+  /** LRU (field, term) -> SORTED doc-id array of the decoded postings —
+    * the primitive-array view of [[decodedFts]] keys for candidate
+    * merges (union/intersect without Set boxing). Per-snapshot. */
+  private val termDocsSorted = lru[(String, String), Array[Long]](256)
+
+  private def sortedDocsOf(ft: (String, String),
+      byFt: Map[(String, String), Map[Long, (Long, Long, Array[Int])]])
+      : Array[Long] = {
+    val cached = termDocsSorted.synchronized(Option(termDocsSorted.get(ft)))
+    cached.getOrElse {
+      val a = byFt.getOrElse(ft, Map.empty).keysIterator.toArray
+      java.util.Arrays.sort(a)
+      termDocsSorted.synchronized(termDocsSorted.put(ft, a))
+      a
+    }
+  }
+
+  private def mergeUnion(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) { out(k) = x; i += 1 }
+      else if (y < x) { out(k) = y; j += 1 }
+      else { out(k) = x; i += 1; j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    java.util.Arrays.copyOf(out, k)
+  }
+
+  private def mergeIntersect(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty || b.isEmpty) return Array.emptyLongArray
+    val out = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (y < x) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
   /** The snapshot's tombstone filter (delta-sized, loaded once, by ONE
     * Spark job on first use). None = too large for the driver budget. */
   private lazy val deadSet: Option[Wand.DeadSet] =
@@ -531,28 +592,128 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
           im
         }
       }
-    def altDocs(a: FieldQ): Set[Long] = a match {
-      case TermQ(f, t) => byFt.getOrElse((f, t), Map.empty).keySet
-      case PhraseQ(f, ts) =>
-        ts.map(t => byFt.getOrElse((f, t), Map.empty).keySet)
-          .reduceOption(_ intersect _).getOrElse(Set.empty)
-      case _ => Set.empty
-    }
-    val candidates = nodes.map(n => n.alts.map(altDocs).reduce(_ union _))
-      .reduceOption(_ intersect _).getOrElse(Set.empty)
     val avgdl = Map(FieldContent -> idx.avgdl(FieldContent),
       FieldRaw -> idx.avgdl(FieldRaw), FieldIdent -> idx.avgdl(FieldIdent))
-    candidates.toSeq.sorted
-      .filterNot(dead.contains) // tombstoned docs never reach the scorer
-      .flatMap { doc =>
-        val rows = byFt.iterator.flatMap { case ((f, t), m) =>
-          m.get(doc).map { case (tf, dl, pos) =>
-            (doc, f, t, tf, dl, pos, dfs((f, t)))
+    val n = idx.nDocs
+    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double = {
+      import graft.index.IndexBuilder.{K1, B}
+      idfV * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl(field)))
+    }
+
+    // align each distinct phrase ONCE per (phrase, snapshot), LRU'd:
+    // sorted (doc, phrase tf, dl) columns for exactly the docs where the
+    // terms are adjacent — identical to scoreDoc's per-doc phraseFreq by
+    // the codec's determinism, but never recomputed on a hot repeat
+    val phrases = nodes.flatMap(_.alts).collect {
+      case p: PhraseQ => p }.distinct
+    val alignOf: Map[PhraseQ, PhraseAlign] = phrases.map { pq =>
+      val key = (pq.field, pq.terms.toList)
+      val cached = phraseAligns.synchronized(Option(phraseAligns.get(key)))
+      val m = cached.getOrElse {
+        val maps = pq.terms.map(t => byFt.getOrElse((pq.field, t), Map.empty))
+        val docsB = Array.newBuilder[Long]
+        val pfB = Array.newBuilder[Int]
+        val dlB = Array.newBuilder[Long]
+        if (maps.nonEmpty && maps.forall(_.nonEmpty)) {
+          val cands = pq.terms.map(t => sortedDocsOf((pq.field, t), byFt))
+            .reduce(mergeIntersect) // ascending, so the columns come out sorted
+          cands.foreach { doc =>
+            val pf = FtsIndex.phraseFreq(maps.map(_(doc)._3))
+            if (pf > 0) {
+              docsB += doc; pfB += pf; dlB += maps.head(doc)._2
+            }
           }
         }
-        val sc = FtsIndex.scoreDoc(nodes, idx.nDocs, avgdl, rows)
-        if (sc.isNaN) None else Some(Wand.Scored(doc, sc))
-      }.sortBy(s => (-s.score, s.doc))
+        val out = PhraseAlign(docsB.result(), pfB.result(), dlB.result())
+        phraseAligns.synchronized(phraseAligns.put(key, out))
+        out
+      }
+      pq -> m
+    }.toMap
+
+    // per-alt scoring constants, once per query (not per candidate)
+    val termIdf: Map[(String, String), Double] =
+      dfs.map { case (ft, df) => ft -> idf(df) }
+
+    // candidate docs as ONE sorted primitive array: per node, merge-union
+    // of alt doc arrays; across nodes, merge-intersect — no Set boxing
+    def altDocsArr(a: FieldQ): Array[Long] = a match {
+      case TermQ(f, t) => sortedDocsOf((f, t), byFt)
+      // aligned docs only — a co-occurring-but-unaligned doc can never
+      // match the phrase alt (scoreDoc returned NaN for those)
+      case pq: PhraseQ => alignOf(pq).docs
+      case _ => Array.emptyLongArray
+    }
+    val candidates = nodes.map(n => n.alts.map(altDocsArr).reduce(mergeUnion))
+      .reduceOption(mergeIntersect).getOrElse(Array.emptyLongArray)
+
+    // per-node alt cursors: candidates ascend, so each phrase alt keeps a
+    // RUNNING POINTER into its sorted alignment columns (one compare per
+    // candidate instead of a binary search); term alts stay map lookups
+    // (rare in phrase-bearing queries)
+    final class PhraseCursor(val al: PhraseAlign, val field: String,
+                             val idfSum: Double) { var p = 0 }
+    val nodePhrase: Array[Array[PhraseCursor]] = nodes.map(_.alts.collect {
+      case pq @ PhraseQ(f, ts) =>
+        new PhraseCursor(alignOf(pq), f, ts.map(t => termIdf((f, t))).sum)
+    }.toArray).toArray
+    val nodeTerm: Array[Array[(Map[Long, (Long, Long, Array[Int])], String, Double)]] =
+      nodes.map(_.alts.collect {
+        case TermQ(f, t) =>
+          (byFt.getOrElse((f, t), Map.empty), f, termIdf((f, t)))
+      }.toArray).toArray
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]
+    var ci = 0
+    while (ci < candidates.length) {
+      val doc = candidates(ci)
+      // tombstoned docs never reach the scorer (cursors self-correct on
+      // the next candidate's advance loop)
+      if (!dead.contains(doc)) {
+        var total = 0.0
+        var all = true
+        var ni = 0
+        while (ni < nodePhrase.length) {
+          var matched = false
+          val pcs = nodePhrase(ni)
+          var ai = 0
+          while (ai < pcs.length) {
+            val c = pcs(ai)
+            val ds = c.al.docs
+            while (c.p < ds.length && ds(c.p) < doc) c.p += 1
+            if (c.p < ds.length && ds(c.p) == doc) {
+              total += bm25(c.al.pf(c.p).toDouble, c.al.dl(c.p), c.field,
+                c.idfSum)
+              matched = true
+            }
+            ai += 1
+          }
+          val tas = nodeTerm(ni)
+          ai = 0
+          while (ai < tas.length) {
+            val (m, f, idfV) = tas(ai)
+            m.get(doc).foreach { case (tf, dl, _) =>
+              total += bm25(tf.toDouble, dl, f, idfV)
+              matched = true
+            }
+            ai += 1
+          }
+          if (!matched) all = false
+          ni += 1
+        }
+        if (all) out += Wand.Scored(doc, total)
+      }
+      ci += 1
+    }
+    // allocation-free comparator (a tuple-keyed sortBy boxes every row)
+    val ord = new Ordering[Wand.Scored] {
+      def compare(a: Wand.Scored, b: Wand.Scored): Int = {
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c else java.lang.Long.compare(a.doc, b.doc)
+      }
+    }
+    out.sortInPlace()(ord).toSeq
   }
 
   /** Same node construction as the cluster path (shared code). */
