@@ -773,6 +773,21 @@ object FtsIndex {
   /** One query word: OR over field alternatives; all nodes must match. */
   final case class Node(alts: Seq[FieldQ]) extends Serializable
 
+  /** The BM25 scalar primitives, shared by EVERY scalar scoring path —
+    * cluster [[scoreDoc]], the driver WAND cursors ([[Wand]]), and the
+    * driver phrase scorer ([[FtsQueryCache]]) — so the formula exists in
+    * exactly one place (the columnar [[scoreDocsExact]] twin is pinned to
+    * these by the differential fuzz battery). Arithmetic order is fixed:
+    * every caller must stay bit-identical to the DuckDB oracle twins. */
+  private[query] def idfOf(n: Long, df: Long): Double =
+    if (df == 0) 0.0 else math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  private[query] def bm25Of(tf: Double, dl: Long, avgdl: Double,
+                            idfV: Double): Double = {
+    import graft.index.IndexBuilder.{K1, B}
+    idfV * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+  }
+
   /** BM25-evaluate all nodes against one document's matched postings.
     * Row shape: (doc_id, field, term, tf, dl, positions, df).
     * Returns NaN when any node fails to match (AND semantics). */
@@ -782,11 +797,9 @@ object FtsIndex {
       : Double = {
     val postings = rows.toArray
     val byFieldTerm = postings.iterator.map(r => ((r._2, r._3), r)).toMap
-    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def idf(df: Long): Double = idfOf(n, df)
     def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double =
-      idfV * tf * (graft.index.IndexBuilder.K1 + 1.0) /
-        (tf + graft.index.IndexBuilder.K1 * (1.0 - graft.index.IndexBuilder.B +
-          graft.index.IndexBuilder.B * dl / avgdl(field)))
+      bm25Of(tf, dl, avgdl(field), idfV)
     var total = 0.0
     var all = true
     nodes.foreach { node =>

@@ -148,15 +148,30 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private val contentRows: java.util.LinkedHashMap[Long, String] =
     inheritedState.map(_._3).getOrElse(lru[Long, String](maxDocs))
 
-  /** LRU (field, term) -> fully DECODED postings (doc -> tf/dl/positions)
-    * for the phrase scorer: hot phrase queries skip the per-query varint +
-    * position decode, which dominates warm phrase latency when the phrase
-    * terms are stopword-grade. Entries are df-gated by construction (the
-    * caller only reaches the phrase path through the df budgets); decoded
-    * positions are ~3x the compressed bytes, so the cap stays small.
-    * Per-snapshot (delta blocks are merged into the decode). */
+  /** One term's fully DECODED postings for the phrase scorer: doc ->
+    * (tf, dl, positions), PLUS the sorted doc-id array (the primitive
+    * view of the keys, for candidate merges without Set boxing — derived
+    * once at decode time, so it can never go incoherent with the map).
+    * `weight` is a byte estimate precomputed at decode (per-posting map
+    * overhead + position ints) so LRU eviction never re-walks entries. */
+  private final case class Decoded(
+      postings: Map[Long, (Long, Long, Array[Int])],
+      docsSorted: Array[Long], weight: Long)
+
+  private object Decoded {
+    val empty = Decoded(Map.empty, Array.emptyLongArray, 0L)
+  }
+
+  /** Weight-bounded LRU (field, term) -> [[Decoded]]: hot phrase queries
+    * skip the per-query varint + position decode, which dominates warm
+    * phrase latency when the phrase terms are stopword-grade. Entries are
+    * df-gated by construction (the caller only reaches the phrase path
+    * through the df budgets); the BYTE budget (not an entry count) bounds
+    * worst-case driver retention even when every entry is a near-gate
+    * term. Per-snapshot (delta blocks are merged into the decode). */
   private val decodedFts =
-    lru[(String, String), Map[Long, (Long, Long, Array[Int])]](64)
+    new graft.util.WeightedLru[(String, String), Decoded](256L << 20,
+      _.weight)
 
   /** One phrase's alignment, columnar: sorted doc ids + parallel phrase-tf
     * and doc-length arrays — primitive arrays so the hot scoring loop
@@ -164,30 +179,16 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private final case class PhraseAlign(docs: Array[Long], pf: Array[Int],
                                        dl: Array[Long])
 
-  /** LRU (field, terms) -> the phrase's ALIGNMENT (docs where the terms
-    * appear at consecutive positions, with phrase tf and dl). The
-    * position-adjacency sweep over two stopword-grade posting lists is
-    * what dominates hot phrase latency once decodes are cached — aligning
-    * once per (phrase, snapshot) turns repeat phrase queries into pure
-    * per-candidate arithmetic. Per-snapshot, like [[decodedFts]]. */
-  private val phraseAligns = lru[(String, List[String]), PhraseAlign](64)
-
-  /** LRU (field, term) -> SORTED doc-id array of the decoded postings —
-    * the primitive-array view of [[decodedFts]] keys for candidate
-    * merges (union/intersect without Set boxing). Per-snapshot. */
-  private val termDocsSorted = lru[(String, String), Array[Long]](256)
-
-  private def sortedDocsOf(ft: (String, String),
-      byFt: Map[(String, String), Map[Long, (Long, Long, Array[Int])]])
-      : Array[Long] = {
-    val cached = termDocsSorted.synchronized(Option(termDocsSorted.get(ft)))
-    cached.getOrElse {
-      val a = byFt.getOrElse(ft, Map.empty).keysIterator.toArray
-      java.util.Arrays.sort(a)
-      termDocsSorted.synchronized(termDocsSorted.put(ft, a))
-      a
-    }
-  }
+  /** Weight-bounded LRU (field, terms) -> the phrase's ALIGNMENT (docs
+    * where the terms appear at consecutive positions, with phrase tf and
+    * dl). The position-adjacency sweep over two stopword-grade posting
+    * lists is what dominates hot phrase latency once decodes are cached —
+    * aligning once per (phrase, snapshot) turns repeat phrase queries into
+    * pure per-candidate arithmetic. Per-snapshot, like [[decodedFts]];
+    * byte-bounded (20 B per aligned doc across the three columns). */
+  private val phraseAligns =
+    new graft.util.WeightedLru[(String, List[String]), PhraseAlign](
+      64L << 20, a => a.docs.length * 20L)
 
   private def mergeUnion(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return b
@@ -453,10 +454,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     val k = if (q.limit == 0) 100000 else q.limit
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
     val blocks = blocksFor(fts)
-    val idfs = dfs.map { case (ft, df) =>
-      ft -> (if (df == 0) 0.0
-             else math.log(1.0 + (idx.nDocs - df + 0.5) / (df + 0.5)))
-    }
+    val idfs = dfs.map { case (ft, df) => ft -> FtsIndex.idfOf(idx.nDocs, df) }
     val hasPhrase = nodes.exists(_.alts.exists(_.isInstanceOf[PhraseQ]))
 
     // full sorted match list for phrase shapes (exhaustive over the small,
@@ -570,12 +568,13 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     import graft.index.Codec
     // decode each (field, term)'s postings into doc -> (tf, dl, positions)
     // (or reuse the LRU'd decode — identical by determinism of the codec)
-    val byFt: Map[(String, String), Map[Long, (Long, Long, Array[Int])]] =
+    val byFt: Map[(String, String), Decoded] =
       blocks.map { case (ft, bls) =>
         val cached = decodedFts.synchronized(Option(decodedFts.get(ft)))
         ft -> cached.getOrElse {
           val m = scala.collection.mutable.LongMap
             .empty[(Long, Long, Array[Int])]
+          var posInts = 0L
           bls.foreach { b =>
             val docs = Codec.decodeDeltas(b.doc_bytes, b.n)
             val tfs = Codec.decodeVarints(b.tf_bytes, b.n)
@@ -584,22 +583,27 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
             var i = 0
             while (i < b.n) {
               m.put(docs(i), (tfs(i), dls(i), pr.readDeltaList(tfs(i).toInt)))
+              posInts += tfs(i)
               i += 1
             }
           }
-          val im = m.toMap
-          decodedFts.synchronized(decodedFts.put(ft, im))
-          im
+          val sorted = m.keysIterator.toArray
+          java.util.Arrays.sort(sorted)
+          // ~80 B/posting: immutable-map node + key + value tuple + array
+          // headers; positions 4 B each — an estimate, bounded upstream
+          val d = Decoded(m.toMap, sorted, m.size * 80L + posInts * 4L)
+          decodedFts.synchronized(decodedFts.put(ft, d))
+          d
         }
       }
     val avgdl = Map(FieldContent -> idx.avgdl(FieldContent),
       FieldRaw -> idx.avgdl(FieldRaw), FieldIdent -> idx.avgdl(FieldIdent))
     val n = idx.nDocs
-    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double = {
-      import graft.index.IndexBuilder.{K1, B}
-      idfV * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl(field)))
-    }
+    // the cluster scoreDoc's own primitives (FtsIndex.idfOf/bm25Of) — the
+    // warm path can never drift from the cluster path's formula
+    def idf(df: Long): Double = FtsIndex.idfOf(n, df)
+    def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double =
+      FtsIndex.bm25Of(tf, dl, avgdl(field), idfV)
 
     // align each distinct phrase ONCE per (phrase, snapshot), LRU'd:
     // sorted (doc, phrase tf, dl) columns for exactly the docs where the
@@ -611,12 +615,14 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       val key = (pq.field, pq.terms.toList)
       val cached = phraseAligns.synchronized(Option(phraseAligns.get(key)))
       val m = cached.getOrElse {
-        val maps = pq.terms.map(t => byFt.getOrElse((pq.field, t), Map.empty))
+        val maps =
+          pq.terms.map(t => byFt.getOrElse((pq.field, t), Decoded.empty).postings)
         val docsB = Array.newBuilder[Long]
         val pfB = Array.newBuilder[Int]
         val dlB = Array.newBuilder[Long]
         if (maps.nonEmpty && maps.forall(_.nonEmpty)) {
-          val cands = pq.terms.map(t => sortedDocsOf((pq.field, t), byFt))
+          val cands = pq.terms
+            .map(t => byFt.getOrElse((pq.field, t), Decoded.empty).docsSorted)
             .reduce(mergeIntersect) // ascending, so the columns come out sorted
           cands.foreach { doc =>
             val pf = FtsIndex.phraseFreq(maps.map(_(doc)._3))
@@ -639,7 +645,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     // candidate docs as ONE sorted primitive array: per node, merge-union
     // of alt doc arrays; across nodes, merge-intersect — no Set boxing
     def altDocsArr(a: FieldQ): Array[Long] = a match {
-      case TermQ(f, t) => sortedDocsOf((f, t), byFt)
+      case TermQ(f, t) => byFt.getOrElse((f, t), Decoded.empty).docsSorted
       // aligned docs only — a co-occurring-but-unaligned doc can never
       // match the phrase alt (scoreDoc returned NaN for those)
       case pq: PhraseQ => alignOf(pq).docs
@@ -661,7 +667,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     val nodeTerm: Array[Array[(Map[Long, (Long, Long, Array[Int])], String, Double)]] =
       nodes.map(_.alts.collect {
         case TermQ(f, t) =>
-          (byFt.getOrElse((f, t), Map.empty), f, termIdf((f, t)))
+          (byFt.getOrElse((f, t), Decoded.empty).postings, f, termIdf((f, t)))
       }.toArray).toArray
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]

@@ -21,7 +21,6 @@ import graft.index.FtsSchema.SegmentBlock
   */
 object Wand {
 
-  import graft.index.IndexBuilder.{K1, B}
 
   final case class Scored(doc: Long, score: Double)
 
@@ -57,8 +56,7 @@ object Wand {
     val globalUB: Double = blocks.iterator.map(blockUB).max
 
     private def blockUB(blk: SegmentBlock): Double =
-      idf * blk.max_tf * (K1 + 1.0) /
-        (blk.max_tf + K1 * (1.0 - B + B * blk.min_dl / avgdl))
+      FtsIndex.bm25Of(blk.max_tf.toDouble, blk.min_dl, avgdl, idf)
 
     def exhausted: Boolean = bi >= blocks.length
 
@@ -109,9 +107,7 @@ object Wand {
     /** BM25 contribution at the current doc (requires positioning first). */
     def scoreCurrent(): Double = {
       decode()
-      val tf = tfsArr(i).toDouble
-      val dl = dlsArr(i)
-      idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+      FtsIndex.bm25Of(tfsArr(i).toDouble, dlsArr(i), avgdl, idf)
     }
   }
 

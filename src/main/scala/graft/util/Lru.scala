@@ -10,3 +10,31 @@ object Lru {
         size() > cap
     }
 }
+
+/** Access-ordered LRU bounded by total WEIGHT (an approximate byte
+  * estimate) instead of entry count — for caches whose entries vary by
+  * orders of magnitude (decoded posting lists, phrase alignments), where
+  * an entry-count cap admits a pathological all-large-entry retention far
+  * past the driver's memory budget. Same usage contract as [[Lru.apply]]:
+  * callers synchronize on the instance around get/put. A single entry
+  * heavier than the budget is retained alone (the count-LRU cap-1
+  * behavior); per-entry size is bounded upstream by the df gates. */
+final class WeightedLru[K, V](maxWeight: Long, weigh: V => Long) {
+  private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
+  private var total = 0L
+  def get(k: K): V = map.get(k)
+  def put(k: K, v: V): Unit = {
+    val old = map.put(k, v)
+    if (old != null) total -= weigh(old)
+    total += weigh(v)
+    if (total > maxWeight) {
+      val it = map.entrySet().iterator() // eldest -> newest
+      while (total > maxWeight && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { total -= weigh(e.getValue); it.remove() }
+      }
+    }
+  }
+  def size: Int = map.size()
+  def weight: Long = total
+}

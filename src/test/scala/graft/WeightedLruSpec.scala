@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.WeightedLru
+
+/** The weight-bounded LRU backing the decoded-postings and
+  * phrase-alignment caches: eviction is by TOTAL WEIGHT (byte estimate),
+  * eldest-accessed first, and the just-inserted entry is never evicted —
+  * the property that bounds driver retention under sustained varied
+  * phrase traffic where an entry-count cap would not. */
+class WeightedLruSpec extends AnyFunSuite {
+
+  private def v(n: Int): String = "x" * n
+  private def make(budget: Long) =
+    new WeightedLru[String, String](budget, _.length.toLong)
+
+  test("evicts eldest entries until total weight fits the budget") {
+    val lru = make(100L)
+    lru.put("a", v(40))
+    lru.put("b", v(40))
+    lru.put("c", v(40)) // 120 > 100: evict a (eldest)
+    assert(lru.get("a") == null)
+    assert(lru.get("b") != null && lru.get("c") != null)
+    assert(lru.weight == 80L && lru.size == 2)
+  }
+
+  test("get refreshes access order, like the count LRU") {
+    val lru = make(100L)
+    lru.put("a", v(40)); lru.put("b", v(40))
+    lru.get("a") // a is now newest
+    lru.put("c", v(40)) // evict b, not a
+    assert(lru.get("b") == null)
+    assert(lru.get("a") != null && lru.get("c") != null)
+  }
+
+  test("re-put of an existing key swaps its weight, no double counting") {
+    val lru = make(100L)
+    lru.put("a", v(40))
+    lru.put("a", v(70))
+    assert(lru.weight == 70L && lru.size == 1)
+    lru.put("b", v(30)) // exactly at budget: nothing evicted
+    assert(lru.get("a") != null && lru.get("b") != null)
+    assert(lru.weight == 100L)
+  }
+
+  test("a single entry over budget is retained alone (cap-1 behavior)") {
+    val lru = make(100L)
+    lru.put("a", v(10)); lru.put("b", v(10))
+    lru.put("huge", v(500))
+    assert(lru.get("a") == null && lru.get("b") == null)
+    assert(lru.get("huge") != null && lru.size == 1)
+    // and a later small entry evicts the oversized one
+    lru.put("c", v(10))
+    assert(lru.get("huge") == null && lru.get("c") != null)
+    assert(lru.weight == 10L)
+  }
+
+  test("eviction sweeps as many eldest entries as the new one displaces") {
+    val lru = make(100L)
+    (1 to 10).foreach(i => lru.put(s"k$i", v(10))) // full at 100
+    lru.put("big", v(95)) // evicts ALL ten: 195 -> ... -> 95
+    assert((1 to 10).forall(i => lru.get(s"k$i") == null))
+    assert(lru.get("big") != null && lru.size == 1 && lru.weight == 95L)
+  }
+}
