@@ -26,11 +26,14 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *     (build + persist the IVF serving index: versioned centroids +
   *      cell-partitioned assignment, atomic pointer)
   *   graft.FtsCli ann-query <annDir> <embParquet> <vecId> [--k N]
+  *     [--min-score S] [--accuracy fast|balanced|high]
   *     (reopen from disk — zero clustering jobs — and run a cosine top-k
   *      using vector <vecId> as the query; the reference's embedding
-  *      provider is out of scope, so the query vector comes from the table)
+  *      provider is out of scope, so the query vector comes from the
+  *      table. --min-score/--accuracy are the reference's semantic query
+  *      knobs, cli.py:4236-4242: score floor + probe-width profile)
   *   graft.FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId>
-  *     [--limit N] [--k N]
+  *     [--limit N] [--k N] [--min-score S] [--accuracy fast|balanced|high]
   *     (the reference's `cidx query --hybrid` analog: FTS + semantic run
   *      concurrently, results displayed SEPARATELY — no score fusion)
   *   graft.FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]
@@ -156,26 +159,38 @@ object FtsCli {
         s"($cells cells, probe $probe, cell-partitioned assignment)")
 
     case "ann-query" :: annDir :: embParquet :: vecId :: rest =>
-      val k = rest match {
-        case Nil => 10
-        case "--k" :: n :: Nil => n.toInt
-        case other => throw new IllegalArgumentException(s"bad flags $other")
+      var k = 10
+      var minScore: Option[Double] = None
+      var accuracy = "balanced"
+      def parseAq(as: List[String]): Unit = as match {
+        case Nil =>
+        case "--k" :: n :: t => k = n.toInt; parseAq(t)
+        case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseAq(t)
+        case "--accuracy" :: a :: t => accuracy = a; parseAq(t)
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unknown flag $other")
       }
+      parseAq(rest)
       val ann = graft.ops.AnnIndex.load(spark, annDir)
       val qv = queryVector(spark, embParquet, vecId.toLong)
       println("Semantic Search Results\n")
-      ann.topKWarm(qv, k).zipWithIndex.foreach { case ((id, sim), i) =>
-        println(f"${i + 1}. vec_$id%d  cosine=$sim%.4f")
-      }
+      ann.topKWarm(qv, k, minScore, ann.probesFor(accuracy))
+        .zipWithIndex.foreach { case ((id, sim), i) =>
+          println(f"${i + 1}. vec_$id%d  cosine=$sim%.4f")
+        }
       ann.close()
 
     case "hybrid" :: indexDir :: annDir :: text :: embParquet :: vecId :: rest =>
       var limit = 10
       var k = 10
+      var minScore: Option[Double] = None
+      var accuracy = "balanced"
       def parseHy(as: List[String]): Unit = as match {
         case Nil =>
         case "--limit" :: n :: t => limit = n.toInt; parseHy(t)
         case "--k" :: n :: t => k = n.toInt; parseHy(t)
+        case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseHy(t)
+        case "--accuracy" :: a :: t => accuracy = a; parseHy(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
       }
@@ -183,8 +198,9 @@ object FtsCli {
       val rel = new graft.query.ReloadingFtsIndex(spark, indexDir)
       val ann = graft.ops.AnnIndex.load(spark, annDir)
       val qv = queryVector(spark, embParquet, vecId.toLong)
-      val r = graft.query.Hybrid.search(rel, ann, qv,
-        FtsQuery(text, limit = limit), kSemantic = k)
+      val r = graft.query.Hybrid.searchWith(qq => rel.searchCached(qq), ann,
+        qv, FtsQuery(text, limit = limit), kSemantic = k,
+        minScore = minScore, accuracy = accuracy)
       // both lists, side by side — the reference fuses nothing
       render(r.fts, quiet = false)
       println("Semantic Search Results\n")
@@ -226,7 +242,8 @@ object FtsCli {
         "FtsCli upsert|delete <parquet> <indexDir> | " +
         "FtsCli fold|compact <indexDir> | " +
         "FtsCli ann-build <embParquet> <annDir> [--cells N] [--probe N] | " +
-        "FtsCli ann-query <annDir> <embParquet> <vecId> [--k N] | " +
+        "FtsCli ann-query <annDir> <embParquet> <vecId> [--k N] " +
+        "[--min-score S] [--accuracy fast|balanced|high] | " +
         "FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId> [flags] | " +
         "FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]")
       sys.exit(2)

@@ -52,15 +52,21 @@ object Ann {
   }
 
   /** Exact top-k neighbors for queries (vec_id < nQueries), self excluded.
-    * Output: (query_id, rank, neighbor_id, sim). */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    * Output: (query_id, rank, neighbor_id, sim). `minScore` drops
+    * neighbors below the (rounded) similarity floor BEFORE the k-cap —
+    * the reference's `--min-score` semantic threshold (cli.py:4236,
+    * applied as `score >= min_score` at cli.py:1199), so a query can
+    * return fewer than k rows when the floor bites. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int,
+                     minScore: Option[Double] = None): DataFrame = {
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = broadcast(queries).crossJoin(
+    val all = broadcast(queries).crossJoin(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding")))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 4).as("sim"))
+    val scored = minScore.fold(all)(ms => all.where(col("sim") >= ms))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

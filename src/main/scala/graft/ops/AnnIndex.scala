@@ -88,13 +88,29 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
 
   import AnnIndex.simOf
 
-  /** The query's nProbe nearest cells (ties -> lower cell id); pure
+  /** The query's `probes` nearest cells (ties -> lower cell id); pure
     * driver math over the centroid array. */
-  def probeCells(queryVec: Array[Float]): Seq[Int] = {
+  def probeCells(queryVec: Array[Float], probes: Int = nProbe): Seq[Int] = {
     val q = queryVec.map(_.toDouble)
     centroids.map { case (c, ce) => (c, cosineLocal(q, ce)) }
       .sortBy { case (c, s) => (-s, c) }
-      .take(nProbe).map(_._1).toSeq
+      .take(probes).map(_._1).toSeq
+  }
+
+  /** Per-query probe count for a named accuracy profile — the reference's
+    * `--accuracy fast|balanced|high` knob (cli.py:4238-4242) tunes its
+    * HNSW query-time `ef` (storage/hnsw_index_manager.py:194); the IVF
+    * analog of that recall/latency dial is how many cells one query
+    * scans. `balanced` is the index's configured nProbe; `fast` halves
+    * it; `high` doubles it (clamped to the cell count — at nProbe =
+    * nCells the probe set is exhaustive and results equal the exact
+    * scan). */
+  def probesFor(accuracy: String): Int = accuracy match {
+    case "fast"     => math.max(1, nProbe / 2)
+    case "balanced" => nProbe
+    case "high"     => math.min(nCells, nProbe * 2)
+    case other => throw new IllegalArgumentException(
+      s"accuracy must be fast|balanced|high, got '$other'")
   }
 
   /** Approximate cosine top-k of a query vector: ONE pruned job over the
@@ -106,17 +122,26 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     * wholestage source every query, forcing a ~50 ms Janino recompile —
     * with a stable plan source, repeated queries hit the codegen cache
     * and pay only the pruned scan. The same double-from-float math and
-    * HALF_UP rounding as [[Ann.cosine]] + `round(_, 4)`. */
-  def topK(queryVec: Array[Float], k: Int): Seq[(Long, Double)] = {
-    val cells = probeCells(queryVec)
+    * HALF_UP rounding as [[Ann.cosine]] + `round(_, 4)`.
+    *
+    * `minScore` drops hits below the (rounded) similarity threshold
+    * BEFORE the k-cap — the reference's `--min-score` contract
+    * (cli.py:4236, applied as `score >= min_score` at cli.py:1199);
+    * `probes` widens/narrows the probe set per query (see
+    * [[probesFor]]). */
+  def topK(queryVec: Array[Float], k: Int,
+           minScore: Option[Double] = None,
+           probes: Int = nProbe): Seq[(Long, Double)] = {
+    val cells = probeCells(queryVec, probes)
     val q = queryVec.map(_.toDouble)
     val simU = udf((e: Seq[Float]) => simOf(q, e))
-    assigned.where(col("cell").isin(cells: _*))
+    val scored = assigned.where(col("cell").isin(cells: _*))
       .select(col("vec_id"), simU(col("embedding")).as("sim"))
       // undefined similarity (zero-norm vectors) is excluded on BOTH
       // serving paths — Spark orders NaN first under desc, the driver
       // sort last; dropping keeps them rank-identical
       .where(!isnan(col("sim")))
+    minScore.fold(scored)(ms => scored.where(col("sim") >= ms))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .collect()
@@ -135,10 +160,13 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
 
   /** Warm approximate top-k: identical results to [[topK]] (same probe
     * set, same double-from-float cosine, same HALF_UP rounding and
-    * (sim desc, vec_id asc) order), served from the driver cell cache —
-    * ONE pruned job per cold cell, zero jobs when hot. */
-  def topKWarm(queryVec: Array[Float], k: Int): Seq[(Long, Double)] = {
-    val cells = probeCells(queryVec)
+    * (sim desc, vec_id asc) order, same `minScore`/`probes` contract),
+    * served from the driver cell cache — ONE pruned job per cold cell,
+    * zero jobs when hot. */
+  def topKWarm(queryVec: Array[Float], k: Int,
+               minScore: Option[Double] = None,
+               probes: Int = nProbe): Seq[(Long, Double)] = {
+    val cells = probeCells(queryVec, probes)
     val hits = cellVectors.synchronized {
       cells.flatMap(c => Option(cellVectors.get(c)).map(c -> _)).toMap
     }
@@ -160,11 +188,13 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
       }
     val q = queryVec.map(_.toDouble)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val floor = minScore.getOrElse(Double.NegativeInfinity)
     cells.foreach { c =>
       (hits.get(c) orElse fetched.get(c)).foreach(_.foreach {
         case (id, e) =>
           val sim = simOf(q, e)
-          if (!java.lang.Double.isNaN(sim)) out += ((id, sim))
+          if (!java.lang.Double.isNaN(sim) && sim >= floor)
+            out += ((id, sim))
       })
     }
     out.sortBy { case (id, sim) => (-sim, id) }.take(k).toSeq

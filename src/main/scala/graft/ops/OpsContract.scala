@@ -41,6 +41,12 @@ object OpsQueries {
     "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 5)),
+    // the reference's --min-score semantic threshold (cli.py:4236): same
+    // exact scan, hits below the cosine floor dropped BEFORE the k-cap —
+    // at 0.3 the fixture's queries keep 1-7 neighbors each, so both the
+    // floor and the cap are exercised
+    "ann_minscore" -> ((s, d) =>
+      Ann.bruteForceTopK(emb(s, d), 5, 5, minScore = Some(0.3))),
     // hybrid search's semantic half (SURVEY Q15): literal-query-vector
     // cosine top-k; the FTS half is the DuckDB-oracled engine itself
     "hybrid_semantic" -> ((s, d) => {
@@ -483,6 +489,20 @@ object OpsOracle {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored
+         |) WHERE rank <= 5""".stripMargin,
+
+    "ann_minscore" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")}, 4) AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored WHERE sim >= 0.3
          |) WHERE rank <= 5""".stripMargin,
 
     "ann_lsh_topk" ->

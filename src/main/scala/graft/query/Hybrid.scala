@@ -103,17 +103,25 @@ object Hybrid {
     search(rel, ann.index, queryVec, q, kSemantic, warmSemantic = true)
 
   /** Strategy-parameterized core: any FTS searcher (warm cache, WAND,
-    * exhaustive) composed with the IVF semantic half. */
+    * exhaustive) composed with the IVF semantic half. `minScore` and
+    * `accuracy` are the reference's semantic-side query knobs
+    * (cli.py:4236-4242): the score floor filters semantic hits below
+    * the cosine threshold, the accuracy profile widens/narrows the IVF
+    * probe set ([[graft.ops.AnnIndex.probesFor]]). */
   def searchWith(fts: FtsQuery => Seq[SearchResult],
                  ann: graft.ops.AnnIndex, queryVec: Array[Float],
                  q: FtsQuery, kSemantic: Int,
-                 warmSemantic: Boolean = true): HybridResults =
+                 warmSemantic: Boolean = true,
+                 minScore: Option[Double] = None,
+                 accuracy: String = "balanced"): HybridResults = {
+    val probes = ann.probesFor(accuracy)
     runBoth(() => fts(q), { () =>
       val hits =
-        if (warmSemantic) ann.topKWarm(queryVec, kSemantic)
-        else ann.topK(queryVec, kSemantic)
+        if (warmSemantic) ann.topKWarm(queryVec, kSemantic, minScore, probes)
+        else ann.topK(queryVec, kSemantic, minScore, probes)
       hits.map { case (id, s) => SemanticHit(id, s) }
     })
+  }
 
   private def runBoth(fts: () => Seq[SearchResult],
                       semantic: () => Seq[SemanticHit]): HybridResults = {
@@ -131,11 +139,12 @@ object Hybrid {
     * TakeOrderedAndProject — the same shape as [[graft.ops.Ann]]'s
     * contract queries. */
   def semanticTopK(emb: DataFrame, queryVec: Array[Float],
-                   k: Int): Seq[SemanticHit] = {
+                   k: Int, minScore: Option[Double] = None): Seq[SemanticHit] = {
     import org.apache.spark.sql.functions._
     val qLit = array(queryVec.toIndexedSeq.map(v => lit(v.toDouble)): _*)
-    emb.select(col("vec_id"),
+    val scored = emb.select(col("vec_id"),
         round(graft.ops.Ann.cosine(qLit, col("embedding")), 4).as("sim"))
+    minScore.fold(scored)(ms => scored.where(col("sim") >= ms))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .collect()

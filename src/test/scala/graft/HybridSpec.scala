@@ -69,6 +69,48 @@ class HybridSpec extends AnyFunSuite {
     } finally ann.close()
   }
 
+  test("min-score floor and accuracy profiles (the reference's " +
+       "--min-score/--accuracy semantic knobs)") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ann = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 4)
+    try {
+      val qv = emb.where(col("vec_id") === 2).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+
+      // accuracy profile -> probe count: fast halves, high doubles
+      // (clamped to nCells, at which point the probe set is exhaustive)
+      assert(ann.probesFor("fast") === 2)
+      assert(ann.probesFor("balanced") === 4)
+      assert(ann.probesFor("high") === 8)
+      intercept[IllegalArgumentException](ann.probesFor("turbo"))
+
+      // min-score = filter of the unfloored result, identically on both
+      // serving paths; every surviving hit respects the floor
+      val un = ann.topK(qv, 50)
+      val ms = 0.15
+      val floored = ann.topK(qv, 50, Some(ms))
+      assert(floored === un.filter(_._2 >= ms))
+      assert(floored === ann.topKWarm(qv, 50, Some(ms)))
+      assert(floored.nonEmpty && floored.size < un.size,
+        "fixture threshold should bite but not empty the result")
+
+      // probes = nCells (accuracy high here) makes the probe set
+      // exhaustive: IVF results equal the exact full scan
+      val exact = Hybrid.semanticTopK(emb, qv, 10).map(h => (h.vec_id, h.sim))
+      assert(ann.topK(qv, 10, None, ann.probesFor("high")) === exact)
+
+      // hybrid pass-through: the semantic half respects both knobs
+      val r = Hybrid.searchWith(_ => Seq.empty, ann, qv,
+        FtsQuery("authenticate"), kSemantic = 50,
+        minScore = Some(ms), accuracy = "high")
+      assert(r.semantic.forall(_.sim >= ms))
+      assert(r.semantic.map(h => (h.vec_id, h.sim)) ===
+        Hybrid.semanticTopK(emb, qv, 50, Some(ms)).map(h => (h.vec_id, h.sim)))
+    } finally ann.close()
+  }
+
   test("zero-norm vectors: both ANN serving paths drop the undefined " +
        "similarity instead of crashing, and stay identical") {
     val sp = spark
