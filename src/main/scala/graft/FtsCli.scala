@@ -14,8 +14,9 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *   graft.FtsCli index <sourceParquet> <indexDir> [--discover]
   *     (--discover applies the reference FileFinder intake: extension
   *      allow-list, dir prunes, repo .gitignore merge, size/binary sniff)
-  *   graft.FtsCli query <indexDir> <text> [--case-sensitive] [--fuzzy N]
-  *     [--regex] [--limit N] [--snippet-lines N] [--language L]...
+  *   graft.FtsCli query <indexDir> <text> [--case-sensitive]
+  *     [--case-insensitive] [--fuzzy [N]] [--edit-distance N] [--regex]
+  *     [--limit N] [--snippet-lines N] [--language L]...
   *     [--exclude-language L]... [--path-filter G]... [--exclude-path G]...
   *     [--wand] [--quiet]
   *   graft.FtsCli upsert <batchParquet> <indexDir>   (watch-mode update)
@@ -34,6 +35,7 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *      knobs, cli.py:4236-4242: score floor + probe-width profile)
   *   graft.FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId>
   *     [--limit N] [--k N] [--min-score S] [--accuracy fast|balanced|high]
+  *     [--quiet]
   *     (the reference's `cidx query --hybrid` analog: FTS + semantic run
   *      concurrently, results displayed SEPARATELY — no score fusion)
   *   graft.FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]
@@ -96,7 +98,16 @@ object FtsCli {
       def parse(as: List[String]): Unit = as match {
         case Nil =>
         case "--case-sensitive" :: t => q = q.copy(caseSensitive = true); parse(t)
-        case "--fuzzy" :: n :: t => q = q.copy(editDistance = n.toInt); parse(t)
+        case "--case-insensitive" :: t => q = q.copy(caseSensitive = false); parse(t)
+        // the reference's spellings (cli.py:4270-4281): bare --fuzzy is a
+        // flag meaning edit distance 1; --edit-distance N sets it exactly;
+        // --fuzzy N stays accepted as this CLI's historical shorthand
+        case "--fuzzy" :: n :: t if n.nonEmpty && n.forall(_.isDigit) =>
+          q = q.copy(editDistance = n.toInt); parse(t)
+        case "--fuzzy" :: t =>
+          q = q.copy(editDistance = math.max(1, q.editDistance)); parse(t)
+        case "--edit-distance" :: n :: t =>
+          q = q.copy(editDistance = n.toInt); parse(t)
         case "--regex" :: t => q = q.copy(useRegex = true); parse(t)
         case "--limit" :: n :: t => q = q.copy(limit = n.toInt); parse(t)
         case "--snippet-lines" :: n :: t => q = q.copy(snippetLines = n.toInt); parse(t)
@@ -185,12 +196,14 @@ object FtsCli {
       var k = 10
       var minScore: Option[Double] = None
       var accuracy = "balanced"
+      var quiet = false
       def parseHy(as: List[String]): Unit = as match {
         case Nil =>
         case "--limit" :: n :: t => limit = n.toInt; parseHy(t)
         case "--k" :: n :: t => k = n.toInt; parseHy(t)
         case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseHy(t)
         case "--accuracy" :: a :: t => accuracy = a; parseHy(t)
+        case "--quiet" :: t => quiet = true; parseHy(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
       }
@@ -202,8 +215,8 @@ object FtsCli {
         qv, FtsQuery(text, limit = limit), kSemantic = k,
         minScore = minScore, accuracy = accuracy)
       // both lists, side by side — the reference fuses nothing
-      render(r.fts, quiet = false)
-      println("Semantic Search Results\n")
+      render(r.fts, quiet)
+      if (!quiet) println("Semantic Search Results\n")
       r.semantic.zipWithIndex.foreach { case (h, i) =>
         println(f"${i + 1}. vec_${h.vec_id}%d  cosine=${h.sim}%.4f")
       }
