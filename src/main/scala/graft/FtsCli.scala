@@ -27,7 +27,7 @@ import graft.query.{FtsIndex, FtsQuery, SearchResult}
   *     (build + persist the IVF serving index: versioned centroids +
   *      cell-partitioned assignment, atomic pointer)
   *   graft.FtsCli ann-query <annDir> <embParquet> <vecId> [--k N]
-  *     [--min-score S] [--accuracy fast|balanced|high]
+  *     [--min-score S] [--accuracy fast|balanced|high] [--probe N]
   *     (reopen from disk — zero clustering jobs — and run a cosine top-k
   *      using vector <vecId> as the query; the reference's embedding
   *      provider is out of scope, so the query vector comes from the
@@ -173,16 +173,20 @@ object FtsCli {
       var k = 10
       var minScore: Option[Double] = None
       var accuracy = "balanced"
+      var probeOverride: Option[Int] = None
       def parseAq(as: List[String]): Unit = as match {
         case Nil =>
         case "--k" :: n :: t => k = n.toInt; parseAq(t)
         case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseAq(t)
-        case "--accuracy" :: a :: t => accuracy = a; parseAq(t)
+        case "--accuracy" :: a :: t => accuracy = checkAccuracy(a); parseAq(t)
+        case "--probe" :: n :: t => probeOverride = Some(n.toInt); parseAq(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
       }
       parseAq(rest)
-      val ann = graft.ops.AnnIndex.load(spark, annDir)
+      // no --probe: serve with the build-time probe width persisted in
+      // the version's meta file
+      val ann = graft.ops.AnnIndex.load(spark, annDir, probeOverride)
       val qv = queryVector(spark, embParquet, vecId.toLong)
       println("Semantic Search Results\n")
       ann.topKWarm(qv, k, minScore, ann.probesFor(accuracy))
@@ -202,7 +206,7 @@ object FtsCli {
         case "--limit" :: n :: t => limit = n.toInt; parseHy(t)
         case "--k" :: n :: t => k = n.toInt; parseHy(t)
         case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseHy(t)
-        case "--accuracy" :: a :: t => accuracy = a; parseHy(t)
+        case "--accuracy" :: a :: t => accuracy = checkAccuracy(a); parseHy(t)
         case "--quiet" :: t => quiet = true; parseHy(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
@@ -265,6 +269,16 @@ object FtsCli {
   /** The query vector for ann-query/hybrid: row <vecId> of the embeddings
     * table (the engine-side contract starts from the query vector —
     * SURVEY §0 scopes the embedding provider out). */
+  /** Validate an --accuracy value AT PARSE TIME (shared by ann-query and
+    * hybrid), so a typo fails before any index load or Spark job runs —
+    * like every other bad flag. */
+  private def checkAccuracy(a: String): String = {
+    if (a != "fast" && a != "balanced" && a != "high")
+      throw new IllegalArgumentException(
+        s"--accuracy must be fast|balanced|high, got '$a'")
+    a
+  }
+
   private def queryVector(spark: SparkSession, embParquet: String,
                           vecId: Long): Array[Float] = {
     import org.apache.spark.sql.functions.col

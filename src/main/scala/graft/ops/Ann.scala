@@ -66,7 +66,13 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 4).as("sim"))
-    val scored = minScore.fold(all)(ms => all.where(col("sim") >= ms))
+    // NaN (zero-norm) sims would pass a bare `>=` floor — Spark and
+    // DuckDB both order NaN above every number — so the floor also
+    // requires a DEFINED similarity (the DuckDB twin mirrors this with
+    // `NOT isnan(sim)`); the unfloored scan keeps NaN rows, as pinned
+    // by the ann_topk oracle
+    val scored = minScore.fold(all)(ms =>
+      all.where(!isnan(col("sim")) && col("sim") >= ms))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -224,6 +224,12 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
       .parquet(s"$vDir/assignment")
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = new Path(root).getFileSystem(conf)
+    // the build-time probe width travels with the version so a loaded
+    // index serves (and scales its accuracy profiles from) the probe
+    // the builder chose, not a hardcoded default
+    val meta = hfs.create(new Path(vDir, "meta"), true)
+    try meta.write(s"nProbe=$nProbe\n".getBytes("UTF-8"))
+    finally meta.close()
     hfs.create(new Path(vDir, "BUILD_SUCCESS"), true).close()
     // atomic current-pointer swap shared with the FTS builder
     graft.index.FtsIndexBuilder.publishPointer(spark, root, version)
@@ -243,8 +249,13 @@ object AnnIndex {
   /** Reopen the `current` version of a saved index: one tiny centroid
     * read to the driver, ZERO clustering jobs, no table-sized persist —
     * probe queries run cell-pruned scans over the partitioned layout
-    * (partition pruning replaces the in-memory repartition). */
-  def load(spark: SparkSession, root: String, nProbe: Int = 8,
+    * (partition pruning replaces the in-memory repartition).
+    *
+    * `nProbe = None` (the default) serves with the PERSISTED build-time
+    * probe width from the version's `meta` file (fallback 8 for versions
+    * predating it), so accuracy profiles scale from the probe the
+    * builder chose; pass `Some(n)` to override per process. */
+  def load(spark: SparkSession, root: String, nProbe: Option[Int] = None,
            maxCachedCells: Int = 64): AnnIndex = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = new Path(root).getFileSystem(conf)
@@ -252,6 +263,16 @@ object AnnIndex {
     val version = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
     val vDir = s"$root/$version"
+    val probe = nProbe.getOrElse {
+      val metaPath = new Path(vDir, "meta")
+      if (hfs.exists(metaPath)) {
+        val min = hfs.open(metaPath)
+        val txt = try scala.io.Source.fromInputStream(min).mkString
+          finally min.close()
+        "nProbe=(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(8)
+      } else 8
+    }
     val cents = spark.read.parquet(s"$vDir/centroids")
       .select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -259,7 +280,7 @@ object AnnIndex {
     val assigned = spark.read.parquet(s"$vDir/assignment")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("embedding"))
-    new AnnIndex(assigned, nCells = cents.length, nProbe = nProbe,
+    new AnnIndex(assigned, nCells = cents.length, nProbe = probe,
       maxCachedCells = maxCachedCells, loaded = Some((cents, assigned)))
   }
 

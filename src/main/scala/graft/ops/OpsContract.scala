@@ -502,7 +502,7 @@ object OpsOracle {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored WHERE sim >= 0.3
+         |  FROM scored WHERE NOT isnan(sim) AND sim >= 0.3
          |) WHERE rank <= 5""".stripMargin,
 
     "ann_lsh_topk" ->

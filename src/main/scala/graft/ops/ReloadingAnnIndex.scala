@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * Staleness is one pointer read (a file-metadata call, no Spark job);
   * the stale index's driver cell cache is released on swap. */
 class ReloadingAnnIndex(spark: SparkSession, root: String,
-                        nProbe: Int = 8, maxCachedCells: Int = 64) {
+                        nProbe: Option[Int] = None,
+                        maxCachedCells: Int = 64) {
 
   @volatile private var curVersion: String = readPointer()
   @volatile private var cur: AnnIndex =
@@ -45,8 +46,25 @@ class ReloadingAnnIndex(spark: SparkSession, root: String,
   def topK(queryVec: Array[Float], k: Int): Seq[(Long, Double)] =
     index.topK(queryVec, k)
 
+  /** As [[AnnIndex.topK]] with the reference's semantic query knobs:
+    * `minScore` cosine floor + named accuracy profile. The snapshot is
+    * resolved ONCE so the profile's probe width and the query run
+    * against the same index generation. */
+  def topK(queryVec: Array[Float], k: Int, minScore: Option[Double],
+           accuracy: String): Seq[(Long, Double)] = {
+    val i = index
+    i.topK(queryVec, k, minScore, i.probesFor(accuracy))
+  }
+
   def topKWarm(queryVec: Array[Float], k: Int): Seq[(Long, Double)] =
     index.topKWarm(queryVec, k)
+
+  /** Warm-path twin of the knob-aware [[topK]] overload. */
+  def topKWarm(queryVec: Array[Float], k: Int, minScore: Option[Double],
+               accuracy: String): Seq[(Long, Double)] = {
+    val i = index
+    i.topKWarm(queryVec, k, minScore, i.probesFor(accuracy))
+  }
 
   def close(): Unit = cur.close()
 }

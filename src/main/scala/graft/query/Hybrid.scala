@@ -102,6 +102,16 @@ object Hybrid {
              kSemantic: Int): HybridResults =
     search(rel, ann.index, queryVec, q, kSemantic, warmSemantic = true)
 
+  /** Fully reloading production hybrid with the reference's semantic
+    * query knobs (`--min-score` floor, `--accuracy` profile). The ANN
+    * snapshot is resolved once per call, so the profile's probe width
+    * and the query serve the same index generation. */
+  def search(rel: ReloadingFtsIndex, ann: graft.ops.ReloadingAnnIndex,
+             queryVec: Array[Float], q: FtsQuery, kSemantic: Int,
+             minScore: Option[Double], accuracy: String): HybridResults =
+    searchWith(qq => rel.searchCached(qq), ann.index, queryVec, q,
+      kSemantic, warmSemantic = true, minScore, accuracy)
+
   /** Strategy-parameterized core: any FTS searcher (warm cache, WAND,
     * exhaustive) composed with the IVF semantic half. `minScore` and
     * `accuracy` are the reference's semantic-side query knobs
@@ -144,7 +154,12 @@ object Hybrid {
     val qLit = array(queryVec.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     val scored = emb.select(col("vec_id"),
         round(graft.ops.Ann.cosine(qLit, col("embedding")), 4).as("sim"))
-    minScore.fold(scored)(ms => scored.where(col("sim") >= ms))
+    // Spark (like DuckDB) totals-orders NaN ABOVE every number, so a bare
+    // `sim >= ms` would let an undefined similarity (zero-norm vector)
+    // through any floor and rank it first; a floor only admits defined
+    // similarities — matching the ANN serving paths, which drop NaN
+    minScore.fold(scored)(ms =>
+      scored.where(!isnan(col("sim")) && col("sim") >= ms))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .collect()

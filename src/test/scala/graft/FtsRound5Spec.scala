@@ -116,8 +116,12 @@ class FtsRound5Spec extends AnyFunSuite {
     val root = TestSpark.tempDir("ann_idx")
     try {
       built.save(root)
-      val loadedIdx = graft.ops.AnnIndex.load(spark, root, nProbe = 6)
+      // no explicit nProbe: load() must pick up the build-time probe
+      // width persisted in the version's meta file
+      val loadedIdx = graft.ops.AnnIndex.load(spark, root)
       try {
+        assert(loadedIdx.nProbe === 6,
+          "persisted build-time nProbe not honored by load()")
         assert(loadedIdx.nCells === built.nCells)
         assert(loadedIdx.centroids.map(_._1) === built.centroids.map(_._1))
         loadedIdx.centroids.zip(built.centroids).foreach {
@@ -148,7 +152,7 @@ class FtsRound5Spec extends AnyFunSuite {
       } finally loadedIdx.close()
       // a second save publishes a NEW version and the pointer follows it
       val v2 = built.save(root)
-      val reloaded = graft.ops.AnnIndex.load(spark, root, nProbe = 6)
+      val reloaded = graft.ops.AnnIndex.load(spark, root)
       try assert(reloaded.centroids.map(_._1) === built.centroids.map(_._1))
       finally reloaded.close()
       assert(v2.contains("/v"))
@@ -162,7 +166,7 @@ class FtsRound5Spec extends AnyFunSuite {
     val root = TestSpark.tempDir("ann_reload")
     val b1 = new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 4)
     b1.save(root)
-    val rel = new graft.ops.ReloadingAnnIndex(spark, root, nProbe = 4)
+    val rel = new graft.ops.ReloadingAnnIndex(spark, root)
     val v1 = rel.currentVersion
     val qv = emb.where(col("vec_id") === 1).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
@@ -173,6 +177,13 @@ class FtsRound5Spec extends AnyFunSuite {
     assert(rel.index.nCells === 8)
     assert(rel.currentVersion !== v1)
     assert(rel.topKWarm(qv, 5) === b2.topK(qv, 5))
+    // the knob-aware overloads ride the reloading wrapper too: an
+    // exhaustive accuracy profile (high doubles 4 -> 8 = nCells)
+    // reproduces the unfloored result, and a floor filters it
+    assert(rel.topKWarm(qv, 5, None, "balanced") === b2.topK(qv, 5))
+    val hi = rel.topK(qv, 50, Some(0.15), "high")
+    assert(hi === b2.topK(qv, 50, Some(0.15), b2.probesFor("high")))
+    assert(hi.forall(_._2 >= 0.15))
     b1.close(); b2.close(); rel.close()
   }
 

@@ -133,6 +133,19 @@ class HybridSpec extends AnyFunSuite {
       assert(!cluster.exists(_._1 == 99999L),
         "the zero vector must be excluded, not ranked")
       assert(cluster.nonEmpty)
+      // a min-score floor must NOT admit the NaN similarity either —
+      // Spark totals-orders NaN above every number, so an unguarded
+      // `sim >= ms` would rank the zero-norm vector FIRST through any
+      // floor on the exact-scan paths
+      val fl = Hybrid.semanticTopK(emb, qv, 60, Some(-1.0))
+      assert(!fl.exists(_.vec_id == 99999L),
+        "exact-scan min-score floor admitted an undefined similarity")
+      assert(fl.forall(h => !h.sim.isNaN))
+      val bf = graft.ops.Ann
+        .bruteForceTopK(emb, 2, 60, minScore = Some(-1.0))
+        .select("neighbor_id").collect().map(_.getLong(0))
+      assert(!bf.contains(99999L),
+        "bruteForceTopK min-score floor admitted an undefined similarity")
     } finally ann.close()
   }
 }
