@@ -179,7 +179,11 @@ object FtsCli {
         case "--k" :: n :: t => k = n.toInt; parseAq(t)
         case "--min-score" :: s :: t => minScore = Some(s.toDouble); parseAq(t)
         case "--accuracy" :: a :: t => accuracy = checkAccuracy(a); parseAq(t)
-        case "--probe" :: n :: t => probeOverride = Some(n.toInt); parseAq(t)
+        case "--probe" :: n :: t =>
+          val p = n.toInt
+          if (p <= 0) throw new IllegalArgumentException(
+            s"--probe must be >= 1, got $p")
+          probeOverride = Some(p); parseAq(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
       }
@@ -260,25 +264,27 @@ object FtsCli {
         "FtsCli fold|compact <indexDir> | " +
         "FtsCli ann-build <embParquet> <annDir> [--cells N] [--probe N] | " +
         "FtsCli ann-query <annDir> <embParquet> <vecId> [--k N] " +
-        "[--min-score S] [--accuracy fast|balanced|high] | " +
+        "[--min-score S] [--accuracy fast|balanced|high] [--probe N] | " +
         "FtsCli hybrid <indexDir> <annDir> <text> <embParquet> <vecId> [flags] | " +
         "FtsCli watch <dropDir> <indexDir> [--checkpoint D] [--fold N]")
       sys.exit(2)
   }
 
-  /** The query vector for ann-query/hybrid: row <vecId> of the embeddings
-    * table (the engine-side contract starts from the query vector —
-    * SURVEY §0 scopes the embedding provider out). */
   /** Validate an --accuracy value AT PARSE TIME (shared by ann-query and
     * hybrid), so a typo fails before any index load or Spark job runs —
-    * like every other bad flag. */
+    * like every other bad flag. The valid-profile set lives in ONE place
+    * ([[graft.ops.AnnIndex.AccuracyProfiles]], the engine that consumes
+    * it), so the CLI can never drift from the engine. */
   private def checkAccuracy(a: String): String = {
-    if (a != "fast" && a != "balanced" && a != "high")
+    if (!graft.ops.AnnIndex.AccuracyProfiles.contains(a))
       throw new IllegalArgumentException(
         s"--accuracy must be fast|balanced|high, got '$a'")
     a
   }
 
+  /** The query vector for ann-query/hybrid: row <vecId> of the embeddings
+    * table (the engine-side contract starts from the query vector —
+    * SURVEY §0 scopes the embedding provider out). */
   private def queryVector(spark: SparkSession, embParquet: String,
                           vecId: Long): Array[Float] = {
     import org.apache.spark.sql.functions.col

@@ -246,6 +246,11 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
 
 object AnnIndex {
 
+  /** The named accuracy profiles [[AnnIndex.probesFor]] accepts — the
+    * single source of truth for callers (e.g. the CLI's parse-time
+    * validation) so they can never drift from the engine. */
+  val AccuracyProfiles: Set[String] = Set("fast", "balanced", "high")
+
   /** Reopen the `current` version of a saved index: one tiny centroid
     * read to the driver, ZERO clustering jobs, no table-sized persist —
     * probe queries run cell-pruned scans over the partitioned layout
