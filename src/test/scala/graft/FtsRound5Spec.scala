@@ -156,6 +156,19 @@ class FtsRound5Spec extends AnyFunSuite {
       try assert(reloaded.centroids.map(_._1) === built.centroids.map(_._1))
       finally reloaded.close()
       assert(v2.contains("/v"))
+      // legacy versions (published before the meta file existed) fall
+      // back to the historical default probe width 8
+      val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$v2/meta"), false)
+      val legacy = graft.ops.AnnIndex.load(spark, root)
+      try assert(legacy.nProbe === 8,
+        "metaless legacy version must load with the default probe width")
+      finally legacy.close()
+      // an explicit override beats both persisted and fallback widths
+      val overridden = graft.ops.AnnIndex.load(spark, root, Some(3))
+      try assert(overridden.nProbe === 3)
+      finally overridden.close()
     } finally built.close()
   }
 
