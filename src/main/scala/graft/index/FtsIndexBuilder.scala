@@ -857,13 +857,38 @@ object FtsIndexBuilder {
       .getOrElse(s"v${versions.lastOption.getOrElse(0) + 1}")
   }
 
-  /** Read the live version dir from the `current` pointer. */
-  def currentVersionDir(spark: SparkSession, root: String): String = {
+  /** Read the `current` pointer's content, tolerating the two transient
+    * windows Hadoop's local ChecksumFs leaves during [[publishPointer]]'s
+    * overwrite-rename (HDFS renames atomically and checksums server-side,
+    * so neither occurs there):
+    *   - `FileNotFoundException` — Rename.OVERWRITE is implemented as
+    *     delete-then-rename, so a racing reader can see NO `current`;
+    *   - `ChecksumException` — the `.current.crc` sidecar is renamed in a
+    *     separate step, so a reader can pair the new pointer bytes with
+    *     the old generation's crc (observed by the ANN reload-race spec).
+    * Bounded retry — both windows are sub-millisecond — then rethrow: a
+    * root that truly has no pointer still fails fast. */
+  private[graft] def readPointer(spark: SparkSession, root: String): String = {
     val hfs = fs(spark, root)
-    val in = hfs.open(new Path(root, "current"))
-    val v = new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-    in.close()
-    s"$root/$v"
+    var attempt = 0
+    var last: java.io.IOException = null
+    while (attempt < 40) {
+      try {
+        val in = hfs.open(new Path(root, "current"))
+        return (try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close())
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          last = e.asInstanceOf[java.io.IOException]
+          attempt += 1; Thread.sleep(5)
+      }
+    }
+    throw last
   }
+
+  /** Read the live version dir from the `current` pointer. */
+  def currentVersionDir(spark: SparkSession, root: String): String =
+    s"$root/${readPointer(spark, root)}"
 }

@@ -264,9 +264,9 @@ object AnnIndex {
            maxCachedCells: Int = 64): AnnIndex = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = new Path(root).getFileSystem(conf)
-    val in = hfs.open(new Path(root, "current"))
-    val version = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
+    // retry-tolerant pointer read (shared with the FTS side): local-fs
+    // overwrite-rename leaves a moment with no `current` file at all
+    val version = graft.index.FtsIndexBuilder.readPointer(spark, root)
     val vDir = s"$root/$version"
     val probe = nProbe.getOrElse {
       val metaPath = new Path(vDir, "meta")

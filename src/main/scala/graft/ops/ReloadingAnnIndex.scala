@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Long-lived handle over a saved [[AnnIndex]] root that reloads on
@@ -17,13 +16,10 @@ class ReloadingAnnIndex(spark: SparkSession, root: String,
   @volatile private var cur: AnnIndex =
     AnnIndex.load(spark, root, nProbe, maxCachedCells)
 
-  private def readPointer(): String = {
-    val hfs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val in = hfs.open(new Path(root, "current"))
-    try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-  }
+  // retry-tolerant shared pointer read: a publish's overwrite-rename can
+  // leave a sub-millisecond no-`current` window on local filesystems
+  private def readPointer(): String =
+    graft.index.FtsIndexBuilder.readPointer(spark, root)
 
   /** The current (fresh) index, reloading first if a newer version was
     * published. */

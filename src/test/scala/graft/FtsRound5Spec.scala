@@ -200,6 +200,41 @@ class FtsRound5Spec extends AnyFunSuite {
     b1.close(); b2.close(); rel.close()
   }
 
+  test("ANN reload-while-serving: concurrent warm queries during a version " +
+       "publish return one complete generation's answer, never a torn mix") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = TestSpark.tempDir("ann_reload_race")
+    val b1 = new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 4)
+    b1.save(root)
+    val b2 = new graft.ops.AnnIndex(emb, nCells = 8, nProbe = 4)
+    val rel = new graft.ops.ReloadingAnnIndex(spark, root)
+    val qv = emb.where(col("vec_id") === 5).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val exp1 = b1.topK(qv, 5)
+    val exp2 = b2.topK(qv, 5)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try while (!stop.get()) {
+          val r = rel.topKWarm(qv, 5)
+          if (r != exp1 && r != exp2)
+            bad.compareAndSet(null, s"torn result: $r")
+        } catch { case e: Throwable =>
+          bad.compareAndSet(null, s"query threw during reload: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    Thread.sleep(150)
+    b2.save(root) // concurrent publish while queries are in flight
+    Thread.sleep(300)
+    stop.set(true); threads.foreach(_.join(10000))
+    assert(bad.get() === null, String.valueOf(bad.get()))
+    assert(rel.topKWarm(qv, 5) === exp2, "post-publish queries must serve v2")
+    b1.close(); b2.close(); rel.close()
+  }
+
   test("cache hit-ratio stats: warm serves, cluster routes, and block-LRU " +
        "hits are counted (the reference cache's stats surface)") {
     val root = freshIndex(Fixtures.corpusA)
