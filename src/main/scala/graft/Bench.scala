@@ -287,11 +287,18 @@ object Bench {
         "filtered" -> FtsQuery("merge", limit = 10, languages = Seq("py")),
         "phrase" -> FtsQuery("import_os", limit = 10),
         "fuzzy" -> FtsQuery("mergs", editDistance = 1, limit = 10))
+      // cold = a FRESH cache per shape: the shared `cache` above already
+      // fetched the querySet's blocks (which overlap these shapes — the
+      // fuzzy "mergs" expands to the already-hot "merge"), and the shapes
+      // overlap each other, so anything less is a partially-warm number
+      // masquerading as cold
       extraShapes.foreach { case (name, q) =>
-        qtimes(s"q_cached_${name}_cold") = timeS(cache.search(q))._2
+        val coldCache = new graft.query.FtsQueryCache(idx)
+        qtimes(s"q_cached_${name}_cold") = timeS(coldCache.search(q))._2
       }
       val extraReps = 3 * reps
       extraShapes.foreach { case (name, q) =>
+        cache.search(q) // untimed warm touch: expansions/alignments hot
         val ts = (0 until extraReps).map { _ =>
           timeS(cache.search(q))._2 }.sorted
         qtimes(s"q_cached_$name") = ts(ts.size / 2)

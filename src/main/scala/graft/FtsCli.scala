@@ -156,8 +156,16 @@ object FtsCli {
       var probe = 8
       def parseAnn(as: List[String]): Unit = as match {
         case Nil =>
-        case "--cells" :: n :: t => cells = n.toInt; parseAnn(t)
-        case "--probe" :: n :: t => probe = n.toInt; parseAnn(t)
+        case "--cells" :: n :: t =>
+          cells = n.toInt
+          require(cells >= 1, s"--cells must be >= 1, got $cells")
+          parseAnn(t)
+        case "--probe" :: n :: t =>
+          probe = n.toInt
+          // parse-time mirror of AnnIndex's constructor guard: a width
+          // of 0 would persist an index whose every query scans no cells
+          require(probe >= 1, s"--probe must be >= 1, got $probe")
+          parseAnn(t)
         case other :: _ =>
           throw new IllegalArgumentException(s"unknown flag $other")
       }
@@ -278,7 +286,7 @@ object FtsCli {
   private def checkAccuracy(a: String): String = {
     if (!graft.ops.AnnIndex.AccuracyProfiles.contains(a))
       throw new IllegalArgumentException(
-        s"--accuracy must be fast|balanced|high, got '$a'")
+        s"--accuracy must be ${graft.ops.AnnIndex.profileNames}, got '$a'")
     a
   }
 

@@ -866,8 +866,11 @@ object FtsIndexBuilder {
     *   - `ChecksumException` — the `.current.crc` sidecar is renamed in a
     *     separate step, so a reader can pair the new pointer bytes with
     *     the old generation's crc (observed by the ANN reload-race spec).
-    * Bounded retry — both windows are sub-millisecond — then rethrow: a
-    * root that truly has no pointer still fails fast. */
+    * Bounded retry — both windows are sub-millisecond. A root that truly
+    * has no pointer (never built, mistyped path) fails FAST, not after
+    * the retry budget: not-found only retries while a publish is
+    * plausibly in flight — the root listing shows `current` (the rename
+    * just completed) or a staged `current.tmp.*` (rename mid-flight). */
   private[graft] def readPointer(spark: SparkSession, root: String): String = {
     val hfs = fs(spark, root)
     var attempt = 0
@@ -881,6 +884,14 @@ object FtsIndexBuilder {
       } catch {
         case e @ (_: java.io.FileNotFoundException |
                   _: org.apache.hadoop.fs.ChecksumException) =>
+          val midPublish = e.isInstanceOf[
+              org.apache.hadoop.fs.ChecksumException] ||
+            (try hfs.listStatus(new Path(root)).exists { s =>
+                val n = s.getPath.getName
+                n == "current" || n.startsWith("current.tmp.")
+              }
+             catch { case _: java.io.FileNotFoundException => false })
+          if (!midPublish) throw e
           last = e.asInstanceOf[java.io.IOException]
           attempt += 1; Thread.sleep(5)
       }

@@ -53,6 +53,13 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
                private val loaded
                  : Option[(Array[(Int, Array[Double])], DataFrame)] = None) {
 
+  // A probe width < 1 scans zero cells, so EVERY query silently returns
+  // empty — reject at construction (covers fresh builds, loads of a
+  // hand-edited meta, and explicit per-process overrides) rather than
+  // letting save() persist a poisoned index.
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+  require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+
   /** Seeded k-means cell centroids (cell id -> centroid), driver-held. */
   val centroids: Array[(Int, Array[Double])] =
     loaded.map(_._1).getOrElse(Ann.kmeansCentroids(emb, nCells, iters))
@@ -105,13 +112,12 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
     * it; `high` doubles it (clamped to the cell count — at nProbe =
     * nCells the probe set is exhaustive and results equal the exact
     * scan). */
-  def probesFor(accuracy: String): Int = accuracy match {
-    case "fast"     => math.max(1, nProbe / 2)
-    case "balanced" => nProbe
-    case "high"     => math.min(nCells, nProbe * 2)
-    case other => throw new IllegalArgumentException(
-      s"accuracy must be fast|balanced|high, got '$other'")
-  }
+  def probesFor(accuracy: String): Int =
+    AnnIndex.ProfileScaling.get(accuracy) match {
+      case Some(f) => f(nProbe, nCells)
+      case None => throw new IllegalArgumentException(
+        s"accuracy must be ${AnnIndex.profileNames}, got '$accuracy'")
+    }
 
   /** Approximate cosine top-k of a query vector: ONE pruned job over the
     * probed cells (similarity rounded to 4 decimals, ordering and
@@ -246,10 +252,22 @@ class AnnIndex(emb: DataFrame, val nCells: Int = 64, val nProbe: Int = 8,
 
 object AnnIndex {
 
-  /** The named accuracy profiles [[AnnIndex.probesFor]] accepts — the
-    * single source of truth for callers (e.g. the CLI's parse-time
-    * validation) so they can never drift from the engine. */
-  val AccuracyProfiles: Set[String] = Set("fast", "balanced", "high")
+  /** Profile name -> probe scaling ((nProbe, nCells) => probes): the ONE
+    * definition of the accuracy dial. [[AnnIndex.probesFor]], the public
+    * [[AccuracyProfiles]] set (the CLI's parse-time validation), and
+    * every error message derive from it — adding a profile here is the
+    * whole change, so parse-time accept and query-time dispatch can never
+    * drift apart. */
+  private[ops] val ProfileScaling: Map[String, (Int, Int) => Int] = Map(
+    "fast"     -> ((p, _) => math.max(1, p / 2)),
+    "balanced" -> ((p, _) => p),
+    "high"     -> ((p, c) => math.min(c, p * 2)))
+
+  /** The named accuracy profiles [[AnnIndex.probesFor]] accepts. */
+  val AccuracyProfiles: Set[String] = ProfileScaling.keySet
+
+  /** Canonical `a|b|c` rendering for error messages. */
+  def profileNames: String = AccuracyProfiles.toSeq.sorted.mkString("|")
 
   /** Reopen the `current` version of a saved index: one tiny centroid
     * read to the driver, ZERO clustering jobs, no table-sized persist —

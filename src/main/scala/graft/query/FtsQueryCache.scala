@@ -461,7 +461,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     // df-gated posting sets) — computed ONCE even across overpull rounds;
     // lazy WAND pulls otherwise
     lazy val phraseMatches: Seq[Wand.Scored] =
-      scorePhraseLocal(nodes, blocks, dfs, dead)
+      scorePhraseLocal(nodes, blocks, idfs, dead)
     def pullTopK(kk: Int): (Seq[Wand.Scored], Boolean) =
       if (hasPhrase) {
         val all = phraseMatches
@@ -562,7 +562,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     * asc). */
   private def scorePhraseLocal(nodes: Seq[Node],
                                blocks: Map[(String, String), Array[SegmentBlock]],
-                               dfs: Map[(String, String), Long],
+                               idfs: Map[(String, String), Double],
                                dead: Wand.DeadSet)
       : Seq[Wand.Scored] = {
     import graft.index.Codec
@@ -598,10 +598,9 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       }
     val avgdl = Map(FieldContent -> idx.avgdl(FieldContent),
       FieldRaw -> idx.avgdl(FieldRaw), FieldIdent -> idx.avgdl(FieldIdent))
-    val n = idx.nDocs
-    // the cluster scoreDoc's own primitives (FtsIndex.idfOf/bm25Of) — the
-    // warm path can never drift from the cluster path's formula
-    def idf(df: Long): Double = FtsIndex.idfOf(n, df)
+    // the cluster scoreDoc's own primitive (FtsIndex.bm25Of) — the warm
+    // path can never drift from the cluster path's formula; idfs arrives
+    // precomputed by the caller (searchDriver's one map from the dfs job)
     def bm25(tf: Double, dl: Long, field: String, idfV: Double): Double =
       FtsIndex.bm25Of(tf, dl, avgdl(field), idfV)
 
@@ -638,10 +637,6 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       pq -> m
     }.toMap
 
-    // per-alt scoring constants, once per query (not per candidate)
-    val termIdf: Map[(String, String), Double] =
-      dfs.map { case (ft, df) => ft -> idf(df) }
-
     // candidate docs as ONE sorted primitive array: per node, merge-union
     // of alt doc arrays; across nodes, merge-intersect — no Set boxing
     def altDocsArr(a: FieldQ): Array[Long] = a match {
@@ -662,12 +657,12 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
                              val idfSum: Double) { var p = 0 }
     val nodePhrase: Array[Array[PhraseCursor]] = nodes.map(_.alts.collect {
       case pq @ PhraseQ(f, ts) =>
-        new PhraseCursor(alignOf(pq), f, ts.map(t => termIdf((f, t))).sum)
+        new PhraseCursor(alignOf(pq), f, ts.map(t => idfs((f, t))).sum)
     }.toArray).toArray
     val nodeTerm: Array[Array[(Map[Long, (Long, Long, Array[Int])], String, Double)]] =
       nodes.map(_.alts.collect {
         case TermQ(f, t) =>
-          (byFt.getOrElse((f, t), Decoded.empty).postings, f, termIdf((f, t)))
+          (byFt.getOrElse((f, t), Decoded.empty).postings, f, idfs((f, t)))
       }.toArray).toArray
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Wand.Scored]

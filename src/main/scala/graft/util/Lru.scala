@@ -18,20 +18,32 @@ object Lru {
   * past the driver's memory budget. Same usage contract as [[Lru.apply]]:
   * callers synchronize on the instance around get/put. A single entry
   * heavier than the budget is retained alone (the count-LRU cap-1
-  * behavior); per-entry size is bounded upstream by the df gates. */
-final class WeightedLru[K, V](maxWeight: Long, weigh: V => Long) {
+  * behavior); per-entry size is bounded upstream by the df gates.
+  *
+  * Every entry is charged a fixed `entryOverhead` floor on top of its
+  * estimated payload: caches of empty results (a df=0 term's decoded
+  * postings, a phrase whose terms are never adjacent) would otherwise
+  * weigh 0 and NEVER trigger eviction, growing the key/entry structures
+  * (boxed tuples, term lists, LinkedHashMap.Entry) without bound under
+  * sustained distinct-query traffic. The floor also covers the real
+  * per-entry constant (~3 array headers + case class + entry ≈ 200–300 B)
+  * that payload estimates ignore, keeping the true footprint within a
+  * small factor of the byte budget. */
+final class WeightedLru[K, V](maxWeight: Long, weigh: V => Long,
+                              entryOverhead: Long = 256L) {
   private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
   private var total = 0L
+  private def w(v: V): Long = entryOverhead + math.max(0L, weigh(v))
   def get(k: K): V = map.get(k)
   def put(k: K, v: V): Unit = {
     val old = map.put(k, v)
-    if (old != null) total -= weigh(old)
-    total += weigh(v)
+    if (old != null) total -= w(old)
+    total += w(v)
     if (total > maxWeight) {
       val it = map.entrySet().iterator() // eldest -> newest
       while (total > maxWeight && it.hasNext) {
         val e = it.next()
-        if (e.getKey != k) { total -= weigh(e.getValue); it.remove() }
+        if (e.getKey != k) { total -= w(e.getValue); it.remove() }
       }
     }
   }

@@ -316,4 +316,35 @@ class FtsRound5Spec extends AnyFunSuite {
       timeout = 1.second)
     assert(empty.results.isEmpty && empty.errors.isEmpty)
   }
+
+  test("a probe width < 1 is rejected at construction — it could " +
+       "otherwise be persisted and silently empty every query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 0))
+    assert(e.getMessage.contains("nProbe"))
+    intercept[IllegalArgumentException](
+      new graft.ops.AnnIndex(emb, nCells = 0, nProbe = 4))
+    // the load-time override path hits the same constructor guard
+    val root = TestSpark.tempDir("ann_probe_guard")
+    val ok = new graft.ops.AnnIndex(emb, nCells = 4, nProbe = 2)
+    ok.save(root); ok.close()
+    intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.load(spark, root, nProbe = Some(0)))
+  }
+
+  test("a never-built index root fails FAST (no retry stall): the " +
+       "pointer-read retry is reserved for an in-flight publish") {
+    val ghost = TestSpark.tempDir("no_such_index")
+    val t0 = System.nanoTime()
+    intercept[java.io.FileNotFoundException](
+      FtsIndexBuilder.currentVersionDir(spark, ghost))
+    val ms = (System.nanoTime() - t0) / 1e6
+    // the retry budget alone is 40 x 5 ms = 200 ms; an immediate throw
+    // stays far under it even on a noisy host
+    assert(ms < 150.0, s"missing-root lookup stalled ${ms}ms")
+    // a root DIR that doesn't exist at all fails the same way
+    intercept[java.io.FileNotFoundException](
+      FtsIndexBuilder.currentVersionDir(spark, s"$ghost/nested/absent"))
+  }
 }

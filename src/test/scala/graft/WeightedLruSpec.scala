@@ -12,8 +12,11 @@ import graft.util.WeightedLru
 class WeightedLruSpec extends AnyFunSuite {
 
   private def v(n: Int): String = "x" * n
+  // overhead 0 isolates the payload-weight eviction contract; the
+  // default per-entry floor has its own tests below
   private def make(budget: Long) =
-    new WeightedLru[String, String](budget, _.length.toLong)
+    new WeightedLru[String, String](budget, _.length.toLong,
+      entryOverhead = 0L)
 
   test("evicts eldest entries until total weight fits the budget") {
     val lru = make(100L)
@@ -62,5 +65,29 @@ class WeightedLruSpec extends AnyFunSuite {
     lru.put("big", v(95)) // evicts ALL ten: 195 -> ... -> 95
     assert((1 to 10).forall(i => lru.get(s"k$i") == null))
     assert(lru.get("big") != null && lru.size == 1 && lru.weight == 95L)
+  }
+
+  test("zero-weight entries are NOT immortal: the default per-entry " +
+       "overhead floor keeps empty-result caching bounded") {
+    // the production failure mode: sustained distinct phrase queries
+    // whose terms are never adjacent each cache an empty alignment —
+    // payload estimate 0 B. Without the floor, total stays 0 and the
+    // map (keys, entries) grows without bound.
+    val lru = new WeightedLru[String, String](16L << 10, _ => 0L)
+    (1 to 10000).foreach(i => lru.put(s"phrase-$i", ""))
+    assert(lru.size <= (16 << 10) / 256 + 1,
+      s"unbounded growth: ${lru.size} zero-weight entries retained")
+    assert(lru.weight <= (16L << 10) + 256L)
+  }
+
+  test("the overhead floor also charges tiny-weight entries, so the real " +
+       "footprint stays within a small factor of the byte budget") {
+    // 1-doc alignments estimate ~20 B but really cost ~300 B of structs;
+    // with the floor, a 16 KiB budget admits ~59 entries (16384/276),
+    // not the ~800 a bare 20 B estimate would
+    val lru = new WeightedLru[String, String](16L << 10, _ => 20L)
+    (1 to 1000).foreach(i => lru.put(s"k$i", "v"))
+    assert(lru.size <= (16 << 10) / 276 + 1,
+      s"floor not applied: ${lru.size} entries retained")
   }
 }
