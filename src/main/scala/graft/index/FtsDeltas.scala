@@ -129,17 +129,31 @@ object FtsDeltas {
       org.apache.hadoop.fs.Options.Rename.NONE)
   }
 
+  /** The norm regime comes from the INDEX, never the caller: a
+    * default-Config maintenance write into a quantized version must write
+    * quantized postings (and vice versa), or the same doc would score
+    * differently depending on which generation it lives in. An EXPLICIT
+    * `quantizeNorms = true` against an exact-norm index is a caller
+    * error and fails loudly rather than being silently dropped (the
+    * reverse direction is indistinguishable from the default and is
+    * coerced — harmlessly, since quantized stays quantized). */
+  private def withIndexNormRegime(spark: SparkSession, vDir: String,
+                                  cfg0: FtsIndexBuilder.Config)
+      : FtsIndexBuilder.Config = {
+    val persisted = FtsIndexBuilder.quantizedNorms(spark, vDir)
+    require(!cfg0.quantizeNorms || persisted,
+      "quantizeNorms=true requested but this index was built with exact " +
+        "fieldnorms; mixed-regime generations would score the same doc " +
+        "differently — rebuild the index with quantizeNorms=true instead")
+    cfg0.copy(quantizeNorms = persisted)
+  }
+
   def upsert(spark: SparkSession, batch: DataFrame, root: String,
              cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Int = {
     require(cfg0.nShards <= 4096,
       s"delta doc-id namespace fits 4096 sub-shards, got ${cfg0.nShards}")
     val vDir = currentDir(spark, root)
-    // the norm regime comes from the INDEX, never the caller: a
-    // default-Config upsert into a quantized version must write
-    // quantized delta postings (and vice versa), or the same doc would
-    // score differently depending on which generation it lives in
-    val cfg = cfg0.copy(
-      quantizeNorms = FtsIndexBuilder.quantizedNorms(spark, vDir))
+    val cfg = withIndexNormRegime(spark, vDir, cfg0)
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val gen = nextGen(spark, vDir)
     // stage the WHOLE generation under a WRITER-UNIQUE name deltaDirs
@@ -267,9 +281,7 @@ object FtsDeltas {
   def fold(spark: SparkSession, root: String,
            cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Option[Int] = {
     val vDir = currentDir(spark, root)
-    // folded segments must keep the version's norm regime (see upsert)
-    val cfg = cfg0.copy(
-      quantizeNorms = FtsIndexBuilder.quantizedNorms(spark, vDir))
+    val cfg = withIndexNormRegime(spark, vDir, cfg0)
     val hfs = FtsIndexBuilder.fs(spark, vDir)
     val deltaRoot = new Path(s"$vDir/deltas")
     if (!hfs.exists(deltaRoot)) return None
@@ -340,8 +352,7 @@ object FtsDeltas {
   def compact(spark: SparkSession, root: String,
               cfg0: FtsIndexBuilder.Config = FtsIndexBuilder.Config()): Unit = {
     // the fresh version inherits the retiring version's norm regime
-    val cfg = cfg0.copy(quantizeNorms =
-      FtsIndexBuilder.quantizedNorms(spark, currentDir(spark, root)))
+    val cfg = withIndexNormRegime(spark, currentDir(spark, root), cfg0)
     val idx = new graft.query.FtsIndex(spark, root)
     val lineCols =
       if (idx.effectiveDocs.columns.contains("line_start"))

@@ -279,7 +279,17 @@ object AnnIndex {
     * predating it), so accuracy profiles scale from the probe the
     * builder chose; pass `Some(n)` to override per process. */
   def load(spark: SparkSession, root: String, nProbe: Option[Int] = None,
-           maxCachedCells: Int = 64): AnnIndex = {
+           maxCachedCells: Int = 64): AnnIndex =
+    loadCurrent(spark, root, nProbe, maxCachedCells)._1
+
+  /** As [[load]], also returning the version id the pointer resolved to —
+    * the reload path ([[ReloadingAnnIndex]]) records THIS as the loaded
+    * version, so a publish racing two readers can never leave the
+    * recorded version lagging (or moving backward from) the index
+    * actually being served. */
+  def loadCurrent(spark: SparkSession, root: String,
+                  nProbe: Option[Int] = None,
+                  maxCachedCells: Int = 64): (AnnIndex, String) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = new Path(root).getFileSystem(conf)
     // retry-tolerant pointer read (shared with the FTS side): local-fs
@@ -303,8 +313,9 @@ object AnnIndex {
     val assigned = spark.read.parquet(s"$vDir/assignment")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("embedding"))
-    new AnnIndex(assigned, nCells = cents.length, nProbe = probe,
-      maxCachedCells = maxCachedCells, loaded = Some((cents, assigned)))
+    (new AnnIndex(assigned, nCells = cents.length, nProbe = probe,
+      maxCachedCells = maxCachedCells, loaded = Some((cents, assigned))),
+      version)
   }
 
   /** Rounded query-vs-stored similarity — the ONE definition both serving

@@ -12,9 +12,12 @@ class ReloadingAnnIndex(spark: SparkSession, root: String,
                         nProbe: Option[Int] = None,
                         maxCachedCells: Int = 64) {
 
-  @volatile private var curVersion: String = readPointer()
-  @volatile private var cur: AnnIndex =
-    AnnIndex.load(spark, root, nProbe, maxCachedCells)
+  @volatile private var cur: AnnIndex = _
+  @volatile private var curVersion: String = _
+  locally {
+    val (i, v) = AnnIndex.loadCurrent(spark, root, nProbe, maxCachedCells)
+    cur = i; curVersion = v
+  }
 
   // retry-tolerant shared pointer read: a publish's overwrite-rename can
   // leave a sub-millisecond no-`current` window on local filesystems
@@ -22,15 +25,23 @@ class ReloadingAnnIndex(spark: SparkSession, root: String,
     graft.index.FtsIndexBuilder.readPointer(spark, root)
 
   /** The current (fresh) index, reloading first if a newer version was
-    * published. */
+    * published. `curVersion` is always the version [[cur]] was LOADED
+    * from (returned by the load itself, never the pre-lock pointer read):
+    * with two readers racing a publish, recording the stale pre-lock
+    * value would close the fresh index a sibling just swapped in and
+    * leave the recorded version behind the served one — one spurious
+    * full reload (and a warm cell-cache cold start) per subsequent
+    * access until the pointer moved again. */
   def index: AnnIndex = {
-    val v = readPointer()
-    if (v != curVersion) synchronized {
-      if (v != curVersion) {
-        val stale = cur
-        cur = AnnIndex.load(spark, root, nProbe, maxCachedCells)
-        curVersion = v
-        stale.close() // release the stale driver cell cache
+    if (readPointer() != curVersion) synchronized {
+      if (readPointer() != curVersion) {
+        val (fresh, v) =
+          AnnIndex.loadCurrent(spark, root, nProbe, maxCachedCells)
+        if (v != curVersion) {
+          val stale = cur
+          cur = fresh; curVersion = v
+          stale.close() // release the stale driver cell cache
+        } else fresh.close() // a sibling already loaded this version
       }
     }
     cur

@@ -86,20 +86,8 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private val blockHits = new java.util.concurrent.atomic.LongAdder
   private val blockMisses = new java.util.concurrent.atomic.LongAdder
 
-  /** Cumulative serving counters of this cache instance. `blockHitRatio`
-    * is per (field, term) lookup across base+delta block fetches. */
-  final case class CacheStats(warmServed: Long, clusterRouted: Long,
-                              blockHits: Long, blockMisses: Long) {
-    def warmRatio: Double =
-      if (warmServed + clusterRouted == 0) 0.0
-      else warmServed.toDouble / (warmServed + clusterRouted)
-    def blockHitRatio: Double =
-      if (blockHits + blockMisses == 0) 0.0
-      else blockHits.toDouble / (blockHits + blockMisses)
-  }
-
-  def stats: CacheStats = CacheStats(warmServed.sum(), clusterRouted.sum(),
-    blockHits.sum(), blockMisses.sum())
+  def stats: FtsQueryCache.CacheStats = FtsQueryCache.CacheStats(
+    warmServed.sum(), clusterRouted.sum(), blockHits.sum(), blockMisses.sum())
 
   /** ONLY the inherited map references are captured — never the previous
     * cache object itself, which would pin its FtsIndex snapshot (dead
@@ -270,8 +258,19 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     val fullMiss = fts.filterNot(baseHits.contains)
     val deltaMiss =
       fts.filter(ft => baseHits.contains(ft) && !deltaHits.contains(ft))
-    blockHits.add(fts.size - fullMiss.size - deltaMiss.size)
-    blockMisses.add(fullMiss.size + deltaMiss.size)
+    // base and delta lookups count as SEPARATE events: a base-hot /
+    // delta-cold term after a snapshot reload (the inheritance case) is
+    // one hit + one miss, not a full miss — otherwise the ratio reads
+    // 0.0 for queries that skipped every base-block Spark fetch
+    if (hasDeltas) {
+      blockHits.add(baseHits.size + deltaHits.size)
+      blockMisses.add(
+        fullMiss.size + deltaMiss.size +
+          fullMiss.count(ft => !deltaHits.contains(ft)))
+    } else {
+      blockHits.add(baseHits.size)
+      blockMisses.add(fullMiss.size)
+    }
     val (fetchedBase, fetchedDelta) =
       if (fullMiss.isEmpty && deltaMiss.isEmpty)
         (Map.empty[(String, String), Array[SegmentBlock]],
@@ -731,4 +730,26 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
   private[graft] def cachedTermCount: Int =
     baseBlocks.synchronized(baseBlocks.size()) +
       deltaBlocks.synchronized(deltaBlocks.size())
+}
+
+object FtsQueryCache {
+
+  /** Cumulative serving counters of a cache instance. `blockHitRatio` is
+    * per (field, term) LOOKUP EVENT: under live deltas each term makes a
+    * base lookup and a delta lookup, counted separately — so a warm-base /
+    * cold-delta reload (the inheritance case) reads as ~0.5, not 0.0.
+    *
+    * A top-level case class on purpose: an inner class value would carry
+    * an `$outer` pointer pinning the whole cache (and its FtsIndex
+    * snapshot) for as long as a caller retains the stats snapshot —
+    * exactly the retention this class's `inheritFrom` discipline forbids. */
+  final case class CacheStats(warmServed: Long, clusterRouted: Long,
+                              blockHits: Long, blockMisses: Long) {
+    def warmRatio: Double =
+      if (warmServed + clusterRouted == 0) 0.0
+      else warmServed.toDouble / (warmServed + clusterRouted)
+    def blockHitRatio: Double =
+      if (blockHits + blockMisses == 0) 0.0
+      else blockHits.toDouble / (blockHits + blockMisses)
+  }
 }

@@ -35,17 +35,25 @@ object Hybrid {
 
   /** Dedicated pool for the two halves — the reference allocates a
     * ThreadPoolExecutor(max_workers=2) PER REQUEST (cli.py:5039-5107),
-    * i.e. concurrent hybrid requests never share two threads. A CACHED
-    * daemon pool gives the same isolation without per-call allocation:
-    * each in-flight request takes two workers, idle workers are reused,
-    * and one query whose cold half runs a long Spark action can never
-    * head-of-line-block other requests (a fixed 2-thread singleton
-    * would). Never borrows ExecutionContext.global — hybrid halves block
-    * their workers with Spark actions (VERDICT r04 wrong #4). */
+    * i.e. concurrent hybrid requests never share two threads. A shared
+    * elastic daemon pool gives the same isolation without per-call
+    * allocation: each in-flight request takes two workers, idle workers
+    * are reused, and one query whose cold half runs a long Spark action
+    * can never head-of-line-block other requests (a fixed 2-thread
+    * singleton would). BOUNDED at 64 workers (32 fully-parallel
+    * requests): past that, CallerRunsPolicy runs the submitted half on
+    * the requesting thread — the caller was about to block awaiting it
+    * anyway — so a burst degrades to sequential halves per request
+    * instead of minting an OS thread (~1 MB stack) per half with no
+    * backpressure. Never borrows ExecutionContext.global — hybrid halves
+    * block their workers with Spark actions (VERDICT r04 wrong #4). */
   private lazy val pool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(
-        graft.util.Threads.namedDaemonFactory("graft-hybrid")))
+      new java.util.concurrent.ThreadPoolExecutor(
+        0, 64, 60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.SynchronousQueue[Runnable],
+        graft.util.Threads.namedDaemonFactory("graft-hybrid"),
+        new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy))
 
   /** Run FTS and semantic search in parallel (the reference's 2-worker
     * ThreadPoolExecutor). CONTRACT MODE: the FTS half is the exhaustive

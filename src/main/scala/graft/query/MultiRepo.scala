@@ -53,38 +53,68 @@ object MultiRepo {
     * `searchers`: repo -> thunk (e.g. `() => rel.searchCached(q)` over
     * that repo's [[ReloadingFtsIndex]]). Timed-out workers are
     * interrupted best-effort; their pool threads are daemons, so a
-    * stuck search can never pin the JVM. */
+    * stuck search can never pin the JVM.
+    *
+    * Workers come from ONE service-level pool shared across calls — the
+    * reference creates its ThreadPoolExecutor once at service
+    * construction, not per request (multi_search_service.py:53) — so
+    * sustained fan-out traffic pays no thread create/teardown churn.
+    * `parallelism` caps THIS call's in-flight repos (a sliding window:
+    * the next repo submits as an earlier one is collected), so one
+    * wide fan-out can't monopolize the shared workers. */
   def searchAll(searchers: Map[String, () => Seq[SearchResult]],
                 timeout: scala.concurrent.duration.FiniteDuration,
                 parallelism: Int = 4): MultiSearchOutcome = {
-    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    import java.util.concurrent.{TimeUnit, TimeoutException}
     if (searchers.isEmpty) return MultiSearchOutcome(Map.empty, Map.empty)
-    val pool = Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, searchers.size)),
+    val deadline = System.nanoTime() + timeout.toNanos
+    val window = math.max(1, parallelism)
+    val results = Map.newBuilder[String, Seq[SearchResult]]
+    val errors = Map.newBuilder[String, String]
+    val inFlight = scala.collection.mutable.Queue
+      .empty[(String, java.util.concurrent.Future[Seq[SearchResult]])]
+    val it = searchers.toSeq.sortBy(_._1).iterator
+    def topUp(): Unit =
+      while (it.hasNext && inFlight.size < window) {
+        val (repo, f) = it.next()
+        inFlight += repo -> pool.submit(
+          new java.util.concurrent.Callable[Seq[SearchResult]] {
+            def call(): Seq[SearchResult] = f()
+          })
+      }
+    topUp()
+    while (inFlight.nonEmpty) {
+      val (repo, fut) = inFlight.dequeue()
+      val remaining = math.max(0L, deadline - System.nanoTime())
+      try results += repo -> fut.get(remaining, TimeUnit.NANOSECONDS)
+      catch {
+        case _: TimeoutException =>
+          // interrupts a running search; a still-queued one never starts
+          fut.cancel(true)
+          errors += repo -> s"timeout after ${timeout.toMillis} ms"
+        case e: java.util.concurrent.ExecutionException =>
+          val cause = Option(e.getCause).getOrElse(e)
+          errors += repo ->
+            s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
+      }
+      topUp()
+    }
+    MultiSearchOutcome(results.result(), errors.result())
+  }
+
+  /** Shared fan-out workers (see [[searchAll]]): up to `MaxFanOutWorkers`
+    * daemon threads, reclaimed after 60 s idle — a burst reuses warm
+    * threads, a quiet service holds none. Submissions past the cap queue
+    * rather than minting threads; a queued task whose call times out is
+    * cancelled before it ever starts. */
+  private val MaxFanOutWorkers = 32
+  private lazy val pool: java.util.concurrent.ThreadPoolExecutor = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      MaxFanOutWorkers, MaxFanOutWorkers, 60L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable],
       graft.util.Threads.namedDaemonFactory("graft-multirepo"))
-    try {
-      val deadline = System.nanoTime() + timeout.toNanos
-      val futures = searchers.toSeq.sortBy(_._1).map { case (repo, f) =>
-        repo -> pool.submit(new java.util.concurrent.Callable[Seq[SearchResult]] {
-          def call(): Seq[SearchResult] = f()
-        })
-      }
-      val results = Map.newBuilder[String, Seq[SearchResult]]
-      val errors = Map.newBuilder[String, String]
-      futures.foreach { case (repo, fut) =>
-        val remaining = math.max(0L, deadline - System.nanoTime())
-        try results += repo -> fut.get(remaining, TimeUnit.NANOSECONDS)
-        catch {
-          case _: TimeoutException =>
-            fut.cancel(true)
-            errors += repo -> s"timeout after ${timeout.toMillis} ms"
-          case e: java.util.concurrent.ExecutionException =>
-            val cause = Option(e.getCause).getOrElse(e)
-            errors += repo ->
-              s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
-        }
-      }
-      MultiSearchOutcome(results.result(), errors.result())
-    } finally pool.shutdownNow()
+    p.allowCoreThreadTimeOut(true)
+    p
   }
 }

@@ -25,11 +25,14 @@ class ReloadingFtsIndex(spark: SparkSession, root: String,
     if (warmOnLoad) idx.warm() else idx
   }
 
-  /** The current (fresh) index, reloading first if the root moved. */
+  /** The current (fresh) index, reloading first if the root moved. The
+    * fingerprint is RE-READ inside the lock (two cheap metadata calls):
+    * with two readers racing a publish, comparing against the pre-lock
+    * read would reload — and re-warm — a snapshot a sibling just
+    * swapped in. */
   def index: FtsIndex = {
-    val onDisk = FtsIndex.fingerprint(spark, root)
-    if (onDisk != cur.fingerprint) synchronized {
-      if (onDisk != cur.fingerprint) {
+    if (FtsIndex.fingerprint(spark, root) != cur.fingerprint) synchronized {
+      if (FtsIndex.fingerprint(spark, root) != cur.fingerprint) {
         val stale = cur
         cur = load()
         // per-snapshot state (df, expansions, delta blocks, dead set)

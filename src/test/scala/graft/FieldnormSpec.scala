@@ -110,4 +110,24 @@ class FieldnormSpec extends AnyFunSuite {
     assert(FtsIndexBuilder.quantizedNorms(spark, vDir2),
       "compact dropped the quantized-norm regime")
   }
+
+  test("an EXPLICIT quantizeNorms=true delta write against an exact-norm " +
+       "index fails loudly instead of silently dropping the flag") {
+    val root = TestSpark.tempDir("fn_mismatch")
+    FtsIndexBuilder.build(spark, TestSpark.docsDf(Fixtures.corpusA), root,
+      FtsIndexBuilder.Config(nShards = 2, segmentPartitions = 4)) // exact
+    val batch = TestSpark.docsDf(Seq(Fixtures.Doc("test_repo",
+      "src/mismatch.py", "m1" * 20, "python", "mismatch body", Nil)))
+    val wantQuantized = FtsIndexBuilder.Config(quantizeNorms = true)
+    val e = intercept[IllegalArgumentException](
+      graft.index.FtsDeltas.upsert(spark, batch, root, wantQuantized))
+    assert(e.getMessage.contains("quantizeNorms"))
+    intercept[IllegalArgumentException](
+      graft.index.FtsDeltas.compact(spark, root, wantQuantized))
+    // and nothing was written: the index still has zero delta generations
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    val hfs = FtsIndexBuilder.fs(spark, root)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$vDir/deltas")),
+      "rejected upsert left delta state behind")
+  }
 }

@@ -251,6 +251,23 @@ class FtsRound5Spec extends AnyFunSuite {
     val tiny = new FtsQueryCache(idx, maxDfCached = 0)
     tiny.search(FtsQuery("authenticate", limit = 5))
     assert(tiny.stats.clusterRouted === 1 && tiny.stats.warmServed === 0)
+    // base-hot / delta-cold (the inheriting-reload case): base and delta
+    // lookups count as SEPARATE events, so the first post-reload query
+    // reads as a partial hit — not the 0.0 a full-miss count would show
+    val sp = spark
+    import sp.implicits._
+    FtsDeltas.upsert(spark, TestSpark.docsDf(Seq(graft.corpus.Fixtures.Doc(
+      "test_repo", "src/fresh.py", "f1" * 20, "python",
+      "def authenticate_fresh(): pass", Nil))), root)
+    val idx2 = new FtsIndex(spark, root).warm()
+    val c2 = new FtsQueryCache(idx2, inheritFrom = Some(cache))
+    assert(c2.inheritedFromPrev)
+    c2.search(FtsQuery("authenticate", limit = 5))
+    val s2 = c2.stats
+    assert(s2.blockHits >= 1, "inherited base blocks must count as hits")
+    assert(s2.blockMisses >= 1, "cold delta parts must count as misses")
+    assert(s2.blockHitRatio > 0.0 && s2.blockHitRatio < 1.0)
+    idx2.cool()
     idx.cool()
   }
 
