@@ -60,44 +60,59 @@ object MultiRepo {
     * construction, not per request (multi_search_service.py:53) — so
     * sustained fan-out traffic pays no thread create/teardown churn.
     * `parallelism` caps THIS call's in-flight repos (a sliding window:
-    * the next repo submits as an earlier one is collected), so one
+    * the next repo submits as soon as any earlier one completes), so one
     * wide fan-out can't monopolize the shared workers. */
   def searchAll(searchers: Map[String, () => Seq[SearchResult]],
                 timeout: scala.concurrent.duration.FiniteDuration,
                 parallelism: Int = 4): MultiSearchOutcome = {
-    import java.util.concurrent.{TimeUnit, TimeoutException}
+    import java.util.concurrent.{ExecutorCompletionService, TimeUnit}
     if (searchers.isEmpty) return MultiSearchOutcome(Map.empty, Map.empty)
     val deadline = System.nanoTime() + timeout.toNanos
     val window = math.max(1, parallelism)
+    val timeoutMsg = s"timeout after ${timeout.toMillis} ms"
     val results = Map.newBuilder[String, Seq[SearchResult]]
     val errors = Map.newBuilder[String, String]
-    val inFlight = scala.collection.mutable.Queue
-      .empty[(String, java.util.concurrent.Future[Seq[SearchResult]])]
+    // completion-order collection: the next repo submits as soon as ANY
+    // in-flight one finishes — a stalled repo occupies one window slot
+    // until the deadline but never head-of-line-blocks the rest
+    val ecs = new ExecutorCompletionService[Seq[SearchResult]](pool)
+    val outstanding = new java.util.HashMap[
+      java.util.concurrent.Future[Seq[SearchResult]], String]
     val it = searchers.toSeq.sortBy(_._1).iterator
     def topUp(): Unit =
-      while (it.hasNext && inFlight.size < window) {
+      while (it.hasNext && outstanding.size < window) {
         val (repo, f) = it.next()
-        inFlight += repo -> pool.submit(
+        outstanding.put(ecs.submit(
           new java.util.concurrent.Callable[Seq[SearchResult]] {
             def call(): Seq[SearchResult] = f()
-          })
+          }), repo)
       }
     topUp()
-    while (inFlight.nonEmpty) {
-      val (repo, fut) = inFlight.dequeue()
-      val remaining = math.max(0L, deadline - System.nanoTime())
-      try results += repo -> fut.get(remaining, TimeUnit.NANOSECONDS)
-      catch {
-        case _: TimeoutException =>
-          // interrupts a running search; a still-queued one never starts
+    while (!outstanding.isEmpty) {
+      val remaining = deadline - System.nanoTime()
+      val done = if (remaining > 0) ecs.poll(remaining, TimeUnit.NANOSECONDS)
+                 else ecs.poll()
+      if (done == null) {
+        // deadline passed: every in-flight repo is interrupted (a
+        // still-queued one never starts) and every unsubmitted one is
+        // reported without being run
+        outstanding.forEach { (fut, repo) =>
           fut.cancel(true)
-          errors += repo -> s"timeout after ${timeout.toMillis} ms"
-        case e: java.util.concurrent.ExecutionException =>
-          val cause = Option(e.getCause).getOrElse(e)
-          errors += repo ->
-            s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
+          errors += repo -> timeoutMsg
+        }
+        outstanding.clear()
+        while (it.hasNext) errors += it.next()._1 -> timeoutMsg
+      } else {
+        val repo = outstanding.remove(done)
+        try results += repo -> done.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            val cause = Option(e.getCause).getOrElse(e)
+            errors += repo ->
+              s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
+        }
+        topUp()
       }
-      topUp()
     }
     MultiSearchOutcome(results.result(), errors.result())
   }

@@ -332,6 +332,18 @@ class FtsRound5Spec extends AnyFunSuite {
       Map.empty[String, () => Seq[graft.query.SearchResult]],
       timeout = 1.second)
     assert(empty.results.isEmpty && empty.errors.isEmpty)
+    // completion-order window: a stalling repo occupies ONE slot until
+    // the deadline; repos beyond the window still submit and finish as
+    // other slots free up (no head-of-line starvation)
+    val wide = MultiRepo.searchAll(Map(
+      "a_stalls" -> (() => { Thread.sleep(30000); Nil }),
+      "b_ok" -> (() => healthy),
+      "c_ok" -> (() => healthy),
+      "d_ok" -> (() => healthy)),
+      timeout = 5.seconds, parallelism = 2)
+    assert(wide.results.keySet === Set("b_ok", "c_ok", "d_ok"))
+    assert(wide.errors.keySet === Set("a_stalls"))
+    assert(wide.errors("a_stalls").contains("timeout"))
   }
 
   test("a probe width < 1 is rejected at construction — it could " +
