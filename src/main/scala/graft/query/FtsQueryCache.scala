@@ -556,9 +556,13 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
 
   /** Exhaustive driver scorer for phrase-bearing queries: decode the
     * (df-gated) posting lists WITH positions and evaluate candidates with
-    * the cluster's own [[FtsIndex.scoreDoc]] — identical semantics by
-    * construction. Returns ALL (alive) matches sorted (score desc, doc
-    * asc). */
+    * a HAND-ROLLED cursor loop (per-alt BM25 accumulation over sorted
+    * doc-id cursors) — NOT [[FtsIndex.scoreDoc]]; equivalence with the
+    * cluster scorer is pinned by the differential fuzz battery in
+    * FtsRound5Spec, so a semantics change to scoreDoc (idf sum, NaN
+    * handling, tie-breaks) must be mirrored here BY HAND and will show
+    * up as a fuzz failure if it isn't. Returns ALL (alive) matches
+    * sorted (score desc, doc asc). */
   private def scorePhraseLocal(nodes: Seq[Node],
                                blocks: Map[(String, String), Array[SegmentBlock]],
                                idfs: Map[(String, String), Double],

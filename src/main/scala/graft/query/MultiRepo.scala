@@ -82,10 +82,18 @@ object MultiRepo {
     def topUp(): Unit =
       while (it.hasNext && outstanding.size < window) {
         val (repo, f) = it.next()
-        outstanding.put(ecs.submit(
+        try outstanding.put(ecs.submit(
           new java.util.concurrent.Callable[Seq[SearchResult]] {
             def call(): Seq[SearchResult] = f()
           }), repo)
+        catch {
+          // pool hard cap reached (MaxFanOutWorkers searchers already
+          // RUNNING, service-wide): fail THIS repo loudly instead of
+          // queueing behind threads that may never come back
+          case _: java.util.concurrent.RejectedExecutionException =>
+            errors += repo -> ("fan-out pool saturated " +
+              s"($MaxFanOutWorkers workers busy service-wide)")
+        }
       }
     topUp()
     while (!outstanding.isEmpty) {
@@ -93,9 +101,8 @@ object MultiRepo {
       val done = if (remaining > 0) ecs.poll(remaining, TimeUnit.NANOSECONDS)
                  else ecs.poll()
       if (done == null) {
-        // deadline passed: every in-flight repo is interrupted (a
-        // still-queued one never starts) and every unsubmitted one is
-        // reported without being run
+        // deadline passed: every in-flight repo is interrupted and
+        // every unsubmitted one is reported without being run
         outstanding.forEach { (fut, repo) =>
           fut.cancel(true)
           errors += repo -> timeoutMsg
@@ -117,19 +124,23 @@ object MultiRepo {
     MultiSearchOutcome(results.result(), errors.result())
   }
 
-  /** Shared fan-out workers (see [[searchAll]]): up to `MaxFanOutWorkers`
-    * daemon threads, reclaimed after 60 s idle — a burst reuses warm
-    * threads, a quiet service holds none. Submissions past the cap queue
-    * rather than minting threads; a queued task whose call times out is
-    * cancelled before it ever starts. */
-  private val MaxFanOutWorkers = 32
-  private lazy val pool: java.util.concurrent.ThreadPoolExecutor = {
-    val p = new java.util.concurrent.ThreadPoolExecutor(
-      MaxFanOutWorkers, MaxFanOutWorkers, 60L,
+  /** Shared fan-out workers (see [[searchAll]]): ELASTIC daemon threads
+    * (core 0, reclaimed after 60 s idle) — a burst reuses warm threads, a
+    * quiet service holds none. The queue is synchronous, so a submission
+    * always gets a fresh-or-idle thread up to the hard cap: a searcher
+    * that ignores interruption (blocked in a non-interruptible native
+    * read, or code swallowing InterruptedException) leaks ITS thread but
+    * never starves later calls, which mint replacements — a fixed-size
+    * pool with a queue would instead lose one worker per such stall
+    * until the whole service deadlocked. At the hard cap (hundreds of
+    * truly-running searchers — the service is already pathological)
+    * submission fails fast and [[searchAll]] reports that repo as
+    * saturated rather than queueing behind dead threads. */
+  private[graft] val MaxFanOutWorkers = 512
+  private lazy val pool: java.util.concurrent.ThreadPoolExecutor =
+    new java.util.concurrent.ThreadPoolExecutor(
+      0, MaxFanOutWorkers, 60L,
       java.util.concurrent.TimeUnit.SECONDS,
-      new java.util.concurrent.LinkedBlockingQueue[Runnable],
+      new java.util.concurrent.SynchronousQueue[Runnable],
       graft.util.Threads.namedDaemonFactory("graft-multirepo"))
-    p.allowCoreThreadTimeOut(true)
-    p
-  }
 }

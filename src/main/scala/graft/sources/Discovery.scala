@@ -108,18 +108,28 @@ object Discovery {
     * LATER matching rule overrides any earlier decision — `!a.go`
     * followed by `*.go` still excludes a.go, where the former
     * excluded-and-not-negated composition resurrected it (ADVICE r04 #4).
-    * The fold compiles to one nested CASE WHEN chain, codegen'd like any
-    * rlike; gitignore files are tens of lines, never corpus-sized.
+    * Consecutive same-polarity rules commute under last-match-wins (each
+    * writes the same decision, so OR-of-matches equals sequential
+    * override), so every such RUN collapses to ONE alternation `rlike`
+    * — the CASE WHEN depth is the number of polarity FLIPS in the file,
+    * not its line count. A generated thousand-line ignore file (rare but
+    * real) therefore stays a handful of codegen'd nodes instead of an
+    * unbounded Catalyst tree that risks StackOverflowError in analysis.
     * Invalid patterns are skipped like the reference
     * (path_pattern_matcher.py:198-200). */
-  def gitignoreExcludedColumn(rules: Seq[GitignoreRule]): Column =
-    rules.foldLeft(lit(false)) { case (acc, r) =>
-      PathGlob.anyRegex(Seq(r.pattern)) match {
-        case Some(re) =>
-          when(col("path").rlike(re), lit(!r.negation)).otherwise(acc)
+  def gitignoreExcludedColumn(rules: Seq[GitignoreRule]): Column = {
+    val runs = rules.foldLeft(List.empty[(Boolean, List[String])]) {
+      case ((neg, pats) :: tail, r) if neg == r.negation =>
+        (neg, r.pattern :: pats) :: tail
+      case (acc, r) => (r.negation, List(r.pattern)) :: acc
+    }.reverse
+    runs.foldLeft(lit(false)) { case (acc, (neg, patsRev)) =>
+      PathGlob.anyRegex(patsRev.reverse) match {
+        case Some(re) => when(col("path").rlike(re), lit(!neg)).otherwise(acc)
         case None => acc
       }
     }
+  }
 
   private val GitignoreSkipDirs =
     Set(".git", "__pycache__", ".mypy_cache", "node_modules")

@@ -346,6 +346,38 @@ class FtsRound5Spec extends AnyFunSuite {
     assert(wide.errors("a_stalls").contains("timeout"))
   }
 
+  test("an interrupt-IMMUNE stalled searcher leaks only its own thread: " +
+       "the elastic fan-out pool mints replacements, so a later call " +
+       "still completes (a fixed-size pool with a queue would starve)") {
+    import scala.concurrent.duration._
+    // each staller swallows the cancel(true) interrupt and keeps running
+    // ~5 s; 40 of them exceeds the OLD fixed pool size (32), which would
+    // leave the next call queued behind dead workers until its deadline
+    def immune(): Seq[graft.query.SearchResult] = {
+      val end = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < end)
+        try Thread.sleep(50)
+        catch { case _: InterruptedException => () }
+      Nil
+    }
+    val first = MultiRepo.searchAll(
+      (0 until 40).map(i => s"stuck_$i" -> (() => immune())).toMap,
+      timeout = 300.millis, parallelism = 40)
+    assert(first.results.isEmpty)
+    assert(first.errors.size === 40)
+    assert(first.errors.values.forall(_.contains("timeout")))
+    // all 40 leaked threads are STILL RUNNING; a healthy call must not
+    // wait for them
+    val t0 = System.nanoTime()
+    val second = MultiRepo.searchAll(
+      Map("ok" -> (() => Seq.empty[graft.query.SearchResult])),
+      timeout = 3.seconds)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(second.errors.isEmpty, s"healthy call failed: ${second.errors}")
+    assert(second.results.keySet === Set("ok"))
+    assert(ms < 2000, s"healthy call took $ms ms behind leaked workers")
+  }
+
   test("a probe width < 1 is rejected at construction — it could " +
        "otherwise be persisted and silently empty every query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -107,6 +107,30 @@ class GitignoreSpec extends AnyFunSuite {
     assert(kept === Set("a/keep", "b/y.txt"))
   }
 
+  test("a generated thousand-line gitignore collapses to one CASE WHEN " +
+       "per polarity RUN (3 here), not per line — a corpus-sized ignore " +
+       "file cannot blow Catalyst's recursion or leave codegen") {
+    val sp = spark
+    import sp.implicits._
+    // 1500 excludes, one negation, 1501 more excludes = 3 polarity runs
+    val rules =
+      (0 until 1500).map(i => Discovery.GitignoreRule(s"gen$i/*", false)) ++
+      Seq(Discovery.GitignoreRule("gen7/keep.go", true)) ++
+      (0 until 1500).map(i => Discovery.GitignoreRule(s"more$i/*", false)) :+
+      Discovery.GitignoreRule("more3/a.go", false)
+    val excluded = Discovery.gitignoreExcludedColumn(rules)
+    val whens = "(?i)CASE WHEN".r.findAllIn(excluded.toString).size
+    assert(whens === 3,
+      s"expected 3 collapsed polarity runs, got $whens CASE WHEN nodes")
+    val paths = Seq("gen7/keep.go", "gen7/other.go", "more3/a.go",
+      "untouched/x.go", "gen1499/z.py", "more1499/z.py")
+    val kept = paths.toDF("path").where(!excluded)
+      .collect().map(_.getString(0)).toSet
+    // gen7/keep.go: excluded by run 1, re-included by the negation, and
+    // no later run matches it — last-match-wins keeps it
+    assert(kept === Set("gen7/keep.go", "untouched/x.go"))
+  }
+
   test("excludePathFilter composes gitignore patterns: excludes, " +
        "negation re-includes, defaults still apply") {
     val sp = spark
