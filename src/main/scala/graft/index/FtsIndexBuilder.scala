@@ -71,6 +71,12 @@ object FtsIndexBuilder {
   final case class BuildReport(version: String, nDocs: Long,
                                shardsBuilt: Seq[Int], shardsSkipped: Seq[Int])
 
+  /** Row cap for broadcasting the doc-id table in [[stageDocs]] (~100 B
+    * per row of key + id -> a few hundred MB at the cap, within the
+    * guide's broadcast comfort zone); larger corpora per build fall back
+    * to a shuffle join, which costs what the former window plan cost. */
+  private val MaxBroadcastIdRows = 4L << 20
+
   private[graft] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -126,21 +132,47 @@ object FtsIndexBuilder {
       val orderCols =
         if (chunked) Seq($"repo", $"path", $"line_start")
         else Seq($"repo", $"path")
+      val keyCols =
+        if (chunked) Seq("repo", "path", "line_start")
+        else Seq("repo", "path")
       val extraCols =
         if (chunked) Seq("line_start", "line_end") else Nil
       val w = Window.partitionBy($"shard").orderBy(orderCols: _*)
-      withIds
+      // doc_id assignment over METADATA only (identical shard + rank
+      // formula — ids are bit-identical to the former plan): the window's
+      // exchange and sort carry (repo, path[, line_start]), never content.
+      // The id table re-attaches to the payload via a broadcast join, so
+      // content flows scan -> project -> write with NO exchange and no
+      // full-row sort — the "decide on small rows, move heavy rows once"
+      // shape. The write's per-task dynamic-partition sort is keyed
+      // (shard, doc_id), so every written file is an ascending doc range
+      // and the segment stage's posting runs stay long.
+      val idTable = source.select(keyCols.map(col): _*)
         .withColumn("shard",
           pmod(xxhash64($"repo", $"path"), lit(cfg.nShards)).cast("int"))
         .withColumn("doc_id",
           $"shard".cast("long") * lit(1L << 40) +
             (row_number().over(w) - 1))
+        .persist()
+      val nIds = idTable.count()
+      val payload = withIds.drop("doc_id", "shard", "sha256", "ids", "clen")
+      val attached =
+        if (nIds <= MaxBroadcastIdRows)
+          payload.join(broadcast(idTable), keyCols)
+        else
+          // beyond the broadcast budget (~10^8-row corpora per build
+          // partition) the join shuffles the payload by its key — the
+          // former window plan's single content exchange, not two
+          payload.join(idTable, keyCols)
+      attached
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("ids", coalesce($"identifiers", extractIds($"content")))
         .withColumn("clen", length($"content"))
         .select((Seq("doc_id", "shard", "repo", "path", "commit", "lang",
           "sha256", "ids", "content", "clen") ++ extraCols).map(col): _*)
+        .sortWithinPartitions("shard", "doc_id")
         .write.mode("overwrite").partitionBy("shard").parquet(docsDir)
+      idTable.unpersist()
     }
     // per-shard ingest stats (lineage inputs), computed ONCE here instead
     // of once per shard group — and from SMALL columns only (clen is
@@ -655,23 +687,97 @@ object FtsIndexBuilder {
 
   /** Decode sorted packed runs back to per-posting order and feed the
     * streaming block encoder. The reduce-side sort key
-    * (shard, field, term, bucket, first_doc) totally orders postings by
-    * (shard, field, term, doc_id) — bucket is a doc_id prefix and runs of
-    * one key are doc-range-disjoint — so blocks come out identical to the
-    * per-doc-row path's. */
+    * (shard, field, term, bucket, first_doc) totally orders RUNS; within
+    * one (shard, field, term, bucket) group the runs of different map
+    * partitions may INTERLEAVE doc ranges (the docs store keeps several
+    * ascending files per shard — one per write task — so a shard's doc
+    * space is striped across files), so the group's runs are k-way
+    * MERGED by doc_id. Doc ids are globally unique, so the merged stream
+    * is strictly ascending and every segment block comes out
+    * byte-identical to the single-file layout's (FtsBuildSpec pins
+    * this). Memory is O(bucket) per group — a bucket holds at most
+    * bucketBlocks x blockSize postings of ONE term, regardless of df. */
   private[index] def encodeRunPartition(it: Iterator[RunRow],
                                         blockSize: Int): Iterator[SegmentBlock] = {
-    val postings = it.flatMap {
-      case (sh, f, t, _, _, n, docB, tfB, dlB, posB) =>
-        val docs = Codec.decodeDeltas(docB, n)
-        val tfs = Codec.decodeVarints(tfB, n)
-        val dls = Codec.decodeVarints(dlB, n)
-        val pr = new Codec.VarIntReader(posB)
-        (0 until n).iterator.map { i =>
-          (sh, f, t, docs(i), dls(i), tfs(i), pr.readRawList(tfs(i).toInt))
+    type Posting = (Int, String, String, Long, Long, Long, Array[Byte])
+    val rows = it.buffered
+    val postings: Iterator[Posting] = new Iterator[Posting] {
+      private var group: Iterator[Posting] = Iterator.empty
+      override def hasNext: Boolean = group.hasNext || rows.hasNext
+      override def next(): Posting = {
+        if (!group.hasNext) {
+          val h = rows.head
+          val key = (h._1, h._2, h._3, h._4)
+          val runs = scala.collection.mutable.ArrayBuffer.empty[RunRow]
+          while (rows.hasNext && {
+            val r = rows.head
+            (r._1, r._2, r._3, r._4) == key
+          }) runs += rows.next()
+          group = decodeMerged(runs)
         }
+        group.next()
+      }
     }
     encodePartition(postings, blockSize)
+  }
+
+  /** Decode one key group's runs into ascending-doc posting order: the
+    * single-run case streams straight through; multi-run groups merge
+    * their (already sorted, doc-disjoint) decoded streams. */
+  private def decodeMerged(runs: scala.collection.mutable.ArrayBuffer[RunRow])
+      : Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] = {
+    if (runs.length == 1) {
+      val (sh, f, t, _, _, n, docB, tfB, dlB, posB) = runs(0)
+      val docs = Codec.decodeDeltas(docB, n)
+      val tfs = Codec.decodeVarints(tfB, n)
+      val dls = Codec.decodeVarints(dlB, n)
+      val pr = new Codec.VarIntReader(posB)
+      (0 until n).iterator.map { i =>
+        (sh, f, t, docs(i), dls(i), tfs(i), pr.readRawList(tfs(i).toInt))
+      }
+    } else {
+      val (sh, f, t) = (runs(0)._1, runs(0)._2, runs(0)._3)
+      val k = runs.length
+      val docsA = new Array[Array[Long]](k)
+      val tfsA = new Array[Array[Long]](k)
+      val dlsA = new Array[Array[Long]](k)
+      val posA = new Array[Codec.VarIntReader](k)
+      val idx = new Array[Int](k)
+      var total = 0
+      var r = 0
+      while (r < k) {
+        val (_, _, _, _, _, n, docB, tfB, dlB, posB) = runs(r)
+        docsA(r) = Codec.decodeDeltas(docB, n)
+        tfsA(r) = Codec.decodeVarints(tfB, n)
+        dlsA(r) = Codec.decodeVarints(dlB, n)
+        posA(r) = new Codec.VarIntReader(posB)
+        total += n
+        r += 1
+      }
+      val n = total
+      new Iterator[(Int, String, String, Long, Long, Long, Array[Byte])] {
+        private var emitted = 0
+        override def hasNext: Boolean = emitted < n
+        override def next(): (Int, String, String, Long, Long, Long, Array[Byte]) = {
+          var best = -1
+          var bestDoc = Long.MaxValue
+          var i = 0
+          while (i < k) {
+            if (idx(i) < docsA(i).length && docsA(i)(idx(i)) < bestDoc) {
+              bestDoc = docsA(i)(idx(i)); best = i
+            }
+            i += 1
+          }
+          val j = idx(best)
+          idx(best) = j + 1
+          emitted += 1
+          // position bytes are consumed run-locally in doc order, so the
+          // per-run reader stays aligned with its own doc stream
+          (sh, f, t, docsA(best)(j), dlsA(best)(j), tfsA(best)(j),
+            posA(best).readRawList(tfsA(best)(j).toInt))
+        }
+      }
+    }
   }
 
   /** Per-doc posting rows (shard, field, term, doc_id, dl, tf, pos_bytes),

@@ -193,6 +193,34 @@ class FtsIndex(spark: SparkSession, root: String) {
     * alive-semi-join handles any size. */
   private val maxDeadDocs = 1 << 22
 
+  /** Driver-side LRU (field, term) -> df over this SNAPSHOT's dictionary
+    * (immutable once loaded — delta generations produce a new snapshot).
+    * Every query path starts with this dictionary point lookup; keeping
+    * it warm removes one small-but-latency-bearing Spark job from every
+    * repeated query, the daemon regime the reference serves from. A miss
+    * is one pruned job over the (persisted) dict for ALL missing terms. */
+  private val dfCache = graft.util.Lru[(String, String), Long](1 << 16)
+
+  private[query] def dfsOf(fts: Seq[(String, String)])
+      : Map[(String, String), Long] = {
+    val hits = dfCache.synchronized {
+      fts.flatMap(ft => Option(dfCache.get(ft)).map(ft -> _.toLong)).toMap
+    }
+    val missing = fts.filterNot(hits.contains)
+    if (missing.isEmpty) return hits
+    val pred = FtsIndex.orAll(missing.map { case (f, t) =>
+      col("field") === f && col("term") === t })
+    val got = dict.where(pred).select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // df = 0 marks "not in the dictionary" (real entries always have
+    // df >= 1) — cached too, so repeated misses don't re-run the job
+    val withZeros = missing.map(ft => ft -> got.getOrElse(ft, 0L)).toMap
+    dfCache.synchronized {
+      withZeros.foreach { case (ft, df) => dfCache.put(ft, df) }
+    }
+    hits ++ withZeros
+  }
+
   /** Sorted doc_ids whose postings survive in the segments but which a
     * newer tombstone has killed — the alive filter that lets block-max
     * WAND and the driver cache keep serving DURING watch mode (the
@@ -452,15 +480,26 @@ class FtsIndex(spark: SparkSession, root: String) {
   }
 
   /** Exact-term scorer: everything stays in Tungsten. One row per matched
-    * posting (4 numeric cols + field/term for the two broadcast joins), one
-    * hash aggregate keyed by doc_id; the node bitmask encodes AND-of-nodes
-    * without a second aggregation pass. */
+    * posting, one hash aggregate keyed by doc_id; the node bitmask encodes
+    * AND-of-nodes without a second aggregation pass.
+    *
+    * df/idf and the node bit are resolved DRIVER-side (one tiny pruned
+    * lookup over the cached dictionary — the same point query every other
+    * path already does) and inlined as literal CASE expressions, so the
+    * per-query plan is scan -> decode -> project -> one hash aggregate ->
+    * top-k: the former dict and node broadcast hash joins (two
+    * BroadcastExchanges and their build jobs per query) are gone. The
+    * arithmetic mirrors the joined plan bit-for-bit (StrictMath.log — the
+    * function Spark's `log` expression evaluates — over the identical
+    * double operation order), asserted by the oracle rows. A query whose
+    * words repeat a (field, term) across nodes (e.g. "merge merge") keeps
+    * the join-based plan: its per-node row duplication sums tscore once
+    * per node, which a single literal row cannot reproduce bit-exactly. */
   private def scoreDocsExact(nodes: Seq[Node]): Dataset[(Long, Double)] = {
     val pred = termPredicate(nodes)
     val pairs = nodes.zipWithIndex.flatMap { case (nd, i) =>
       nd.alts.collect { case TermQ(f, t) => (f, t, i) }
     }
-    val pairsDf = pairs.toDF("field", "term", "node")
     val decoded = segments.where(pred).flatMap { b =>
       val docIds = graft.index.Codec.decodeDeltas(b.doc_bytes, b.n)
       val tfs = graft.index.Codec.decodeVarints(b.tf_bytes, b.n)
@@ -474,24 +513,66 @@ class FtsIndex(spark: SparkSession, root: String) {
       when(col("field") === FieldContent, lit(avgdlByField(FieldContent)))
         .when(col("field") === FieldRaw, lit(avgdlByField(FieldRaw)))
         .otherwise(lit(avgdlByField(FieldIdent)))
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tscore = idf * col("tf") * lit(IndexBuilder.K1 + 1.0) /
-      (col("tf") + lit(IndexBuilder.K1) * (lit(1.0 - IndexBuilder.B) +
-        lit(IndexBuilder.B) * col("dl") / avgdlCol))
     val fullMask = nodes.indices.map(1L << _).sum
+    val byFt = pairs.groupBy(p => (p._1, p._2))
 
-    decoded
-      .join(broadcast(dict.where(pred).select("field", "term", "df")),
-        Seq("field", "term"))
-      .join(broadcast(pairsDf), Seq("field", "term"))
-      .withColumn("tscore", tscore)
-      .groupBy("doc_id")
-      .agg(sum("tscore").as("score"),
-        expr("bit_or(shiftleft(CAST(1 AS BIGINT), node))").as("mask"))
-      .where(col("mask") === fullMask)
-      .select(col("doc_id"), col("score"))
-      .as[(Long, Double)]
+    if (byFt.valuesIterator.forall(_.size == 1)) {
+      val dfMap = dfsOf(byFt.keys.toSeq)
+      // only (field, term)s present in the dictionary score — the joined
+      // plan's inner-join semantics (a posting without a dict row cannot
+      // occur on a well-formed index, but the filter keeps the plans
+      // equivalent by construction); df = 0 marks absence in dfsOf
+      val scoreFts = pairs.filter(p => dfMap.getOrElse((p._1, p._2), 0L) > 0L)
+      if (scoreFts.isEmpty) return spark.emptyDataset[(Long, Double)]
+      def cond(f: String, t: String) =
+        col("field") === f && col("term") === t
+      // Spark's `log` expression evaluates StrictMath.log; the operand
+      // order mirrors the former column expression exactly
+      def idfLit(df: Long): Double =
+        StrictMath.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+      def caseOver(v: ((String, String, Int)) => org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        scoreFts.tail.foldLeft(
+          when(cond(scoreFts.head._1, scoreFts.head._2), v(scoreFts.head))) {
+          (acc, p) => acc.when(cond(p._1, p._2), v(p))
+        }
+      val idfCol = caseOver(p => lit(idfLit(dfMap((p._1, p._2)))))
+        .otherwise(lit(0.0))
+      val nodeBit = caseOver(p => lit(1L << p._3)).otherwise(lit(0L))
+      val tscore = idfCol * col("tf") * lit(IndexBuilder.K1 + 1.0) /
+        (col("tf") + lit(IndexBuilder.K1) * (lit(1.0 - IndexBuilder.B) +
+          lit(IndexBuilder.B) * col("dl") / avgdlCol))
+      val base =
+        if (scoreFts.size == pairs.size) decoded
+        else decoded.where(FtsIndex.orAll(
+          scoreFts.map(p => cond(p._1, p._2))))
+      base
+        .withColumn("tscore", tscore)
+        .withColumn("nodebit", nodeBit)
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("score"), expr("bit_or(nodebit)").as("mask"))
+        .where(col("mask") === fullMask)
+        .select(col("doc_id"), col("score"))
+        .as[(Long, Double)]
+    } else {
+      val pairsDf = pairs.toDF("field", "term", "node")
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tscore = idf * col("tf") * lit(IndexBuilder.K1 + 1.0) /
+        (col("tf") + lit(IndexBuilder.K1) * (lit(1.0 - IndexBuilder.B) +
+          lit(IndexBuilder.B) * col("dl") / avgdlCol))
+      decoded
+        .join(broadcast(dict.where(pred).select("field", "term", "df")),
+          Seq("field", "term"))
+        .join(broadcast(pairsDf), Seq("field", "term"))
+        .withColumn("tscore", tscore)
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("score"),
+          expr("bit_or(shiftleft(CAST(1 AS BIGINT), node))").as("mask"))
+        .where(col("mask") === fullMask)
+        .select(col("doc_id"), col("score"))
+        .as[(Long, Double)]
+    }
   }
 
   // ---- public API --------------------------------------------------------
@@ -656,11 +737,16 @@ class FtsIndex(spark: SparkSession, root: String) {
     val snippetLines = if (q.limit == 0) 0 else q.snippetLines
 
     val pred = termPredicate(nodes)
-    val idfs: Map[(String, String), Double] = dict.where(pred)
-      .select("field", "term", "df").collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        math.log(1.0 + (nDocs - r.getLong(2) + 0.5) / (r.getLong(2) + 0.5)))
-      .toMap
+    // dictionary point lookup through the snapshot df cache (zero Spark
+    // jobs when the terms are warm); df = 0 (absent) yields idf 0.0 —
+    // identical to the former collect + getOrElse(ft, 0.0)
+    val idfs: Map[(String, String), Double] =
+      dfsOf(nodes.flatMap(_.alts.collect {
+        case TermQ(f, t) => (f, t) }).distinct)
+        .map { case (ft, df) =>
+          ft -> (if (df == 0L) 0.0
+                 else math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)))
+        }
     val groupSpec: Seq[Seq[(String, String)]] =
       nodes.map(_.alts.collect { case TermQ(f, t) => (f, t) })
     val avgdl = avgdlByField

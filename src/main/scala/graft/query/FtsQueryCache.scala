@@ -278,7 +278,14 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       else {
         val preds =
           fullMiss.map { case (f, t) =>
-            col("field") === f && col("term") === t
+            // a base-miss term whose DELTA part is already cached only
+            // needs the base segments — without the shard bound the fetch
+            // re-reads the delta segments and the fetched delta part is
+            // discarded at assembly (deltaHits wins below) — ADVICE r05 #3
+            if (hasDeltas && deltaHits.contains((f, t)))
+              col("field") === f && col("term") === t &&
+                col("shard") < genBase
+            else col("field") === f && col("term") === t
           } ++ deltaMiss.map { case (f, t) =>
             col("field") === f && col("term") === t &&
               col("shard") >= genBase
@@ -334,6 +341,45 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       got.foreach { case (id, row) => metaRows.put(id, row) }
     }
     hits ++ got
+  }
+
+  /** Meta AND content rows for the FINAL top-k ids in ONE pruned job
+    * (they were two identical isin scans over the doc store — the cold
+    * path paid two jobs where one carries both column sets). Ids missing
+    * from EITHER cache are fetched together; both LRUs are populated. */
+  private def rowsFor(ids: Seq[Long])
+      : (Map[Long, (String, String, String, Int, Long)], Map[Long, String]) = {
+    val metaHits = metaRows.synchronized {
+      ids.flatMap(id => Option(metaRows.get(id)).map(id -> _)).toMap
+    }
+    val contentHits = contentRows.synchronized {
+      ids.flatMap(id => Option(contentRows.get(id)).map(id -> _)).toMap
+    }
+    val missing = ids.filter(id =>
+      !metaHits.contains(id) || !contentHits.contains(id)).distinct
+    if (missing.isEmpty) return (metaHits, contentHits)
+    val docs = idx.effectiveDocs
+    val chunked = docs.columns.contains("line_start")
+    val lsCol =
+      if (chunked) coalesce(col("line_start"), lit(1)).cast("int")
+      else lit(1)
+    val leCol =
+      if (chunked) coalesce(col("line_end"), lit(Long.MaxValue)).cast("long")
+      else lit(Long.MaxValue)
+    val got = docs.where(col("doc_id").isin(missing: _*))
+      .select(col("doc_id"), col("repo"), col("path"), col("lang"),
+        lsCol.as("ls"), leCol.as("le"), col("content")).collect()
+    val gotMeta = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+        r.getLong(5))).toMap
+    val gotContent = got.map(r => r.getLong(0) -> r.getString(6)).toMap
+    metaRows.synchronized {
+      gotMeta.foreach { case (id, row) => metaRows.put(id, row) }
+    }
+    contentRows.synchronized {
+      gotContent.foreach { case (id, c) => contentRows.put(id, c) }
+    }
+    (metaHits ++ gotMeta, contentHits ++ gotContent)
   }
 
   private def contentFor(ids: Seq[Long]): Map[Long, String] = {
@@ -499,8 +545,7 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
       }
     if (top.isEmpty) return Nil
 
-    val meta = metaFor(top.map(_.doc))
-    val content = contentFor(top.map(_.doc))
+    val (meta, content) = rowsFor(top.map(_.doc))
     top.flatMap { s =>
       meta.get(s.doc).map { case (repo, path, lang, ls, _) =>
         val c = content.getOrElse(s.doc, "")

@@ -30,7 +30,13 @@ object Lru {
   * that payload estimates ignore, keeping the true footprint within a
   * small factor of the byte budget. */
 final class WeightedLru[K, V](maxWeight: Long, weigh: V => Long,
-                              entryOverhead: Long = 256L) {
+                              entryOverhead: Long = 256L,
+                              /** optional entry-count cap on top of the
+                                * byte budget (the ANN cell cache keeps its
+                                * count contract alongside the new weight
+                                * bound); 0 disables caching entirely —
+                                * even the just-put entry is evicted. */
+                              maxEntries: Int = Int.MaxValue) {
   private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
   private var total = 0L
   private def w(v: V): Long = entryOverhead + math.max(0L, weigh(v))
@@ -39,14 +45,17 @@ final class WeightedLru[K, V](maxWeight: Long, weigh: V => Long,
     val old = map.put(k, v)
     if (old != null) total -= w(old)
     total += w(v)
-    if (total > maxWeight) {
+    if (total > maxWeight || map.size() > maxEntries) {
       val it = map.entrySet().iterator() // eldest -> newest
-      while (total > maxWeight && it.hasNext) {
+      while ((total > maxWeight || map.size() > maxEntries) && it.hasNext) {
         val e = it.next()
-        if (e.getKey != k) { total -= w(e.getValue); it.remove() }
+        if (e.getKey != k || maxEntries == 0) {
+          total -= w(e.getValue); it.remove()
+        }
       }
     }
   }
   def size: Int = map.size()
   def weight: Long = total
+  def clear(): Unit = { map.clear(); total = 0L }
 }

@@ -90,4 +90,32 @@ class WeightedLruSpec extends AnyFunSuite {
     assert(lru.size <= (16 << 10) / 276 + 1,
       s"floor not applied: ${lru.size} entries retained")
   }
+
+  test("maxEntries caps the entry count alongside the weight budget " +
+       "(the ANN cell cache keeps its count contract)") {
+    val lru = new WeightedLru[String, String](1L << 20, _.length.toLong,
+      entryOverhead = 0L, maxEntries = 3)
+    (1 to 5).foreach(i => lru.put(s"k$i", v(10)))
+    assert(lru.size == 3)
+    assert(lru.get("k1") == null && lru.get("k2") == null)
+    assert(lru.get("k3") != null && lru.get("k5") != null)
+    assert(lru.weight == 30L)
+  }
+
+  test("maxEntries = 0 disables caching entirely — even the just-put " +
+       "entry is evicted (the ANN warm-path off switch)") {
+    val lru = new WeightedLru[String, String](1L << 20, _.length.toLong,
+      maxEntries = 0)
+    lru.put("a", v(10))
+    assert(lru.get("a") == null && lru.size == 0 && lru.weight == 0L)
+  }
+
+  test("clear() resets both the map and the running weight") {
+    val lru = make(100L)
+    lru.put("a", v(40)); lru.put("b", v(40))
+    lru.clear()
+    assert(lru.size == 0 && lru.weight == 0L && lru.get("a") == null)
+    lru.put("c", v(10))
+    assert(lru.size == 1 && lru.weight == 10L)
+  }
 }
