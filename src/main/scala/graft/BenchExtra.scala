@@ -92,6 +92,27 @@ object BenchExtra {
           println(f"[extra] q=$q%-16s cached=${med(c)}%.6f")
         }
 
+      case "plancost" =>
+        // split a warm exhaustive query's cost into Catalyst
+        // analysis+planning vs job execution
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bextra_pc").toString
+        FtsIndexBuilder.build(spark,
+          CodeCorpus.sourceFiles(spark, sfDir).drop("doc_id"), root,
+          FtsIndexBuilder.Config(nShards = 8, segmentPartitions = 16))
+        val idx = new FtsIndex(spark, root).warm()
+        idx.searchCollected(FtsQuery("merge")) // warm codegen
+        (0 until 3).foreach { _ =>
+          Seq("merge", "merge sort scan").foreach { q =>
+            var df: org.apache.spark.sql.DataFrame = null
+            val tBuild = timeS { df = idx.search(FtsQuery(q, limit = 10)).toDF() }
+            val tPlan = timeS { df.queryExecution.executedPlan }
+            val tExec = timeS { df.collect() }
+            println(f"[extra] plancost q=$q%-16s build=$tBuild%.4f " +
+              f"plan=$tPlan%.4f exec=$tExec%.4f")
+          }
+        }
+
       case "ann" =>
         import org.apache.spark.sql.functions.col
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -111,6 +132,25 @@ object BenchExtra {
         // directional in-process build timing (stage lines via
         // GRAFT_BUILD_TIMING) — run under `taskset -c 0-(n-1)` for
         // anything worth quoting
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler
+                  .SparkListenerStageCompleted): Unit = {
+              val i = sc.stageInfo
+              val m = i.taskMetrics
+              println(f"[stage] id=${i.stageId}%3d tasks=${i.numTasks}%3d " +
+                f"run=${m.executorRunTime / 1e3}%7.1fs " +
+                f"cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+                f"gc=${m.jvmGCTime / 1e3}%5.1fs " +
+                f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.1fMB " +
+                f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +
+                f"in=${m.inputMetrics.bytesRead / 1e6}%7.1fMB " +
+                f"out=${m.outputMetrics.bytesWritten / 1e6}%7.1fMB " +
+                f"spill=${m.diskBytesSpilled / 1e6}%6.1fMB " +
+                s"${i.name.takeWhile(_ != '\n').take(60)}")
+            }
+          })
         val repl = args(2).toInt
         val label = if (args.length > 4) args(4) else "head"
         import org.apache.spark.sql.functions._

@@ -213,10 +213,29 @@ object FtsIndexBuilder {
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      phase("shard-groups")(Await.result(
-        Future.sequence(groups.map { g =>
-          Future(buildShardGroup(spark, docs, vDir, g.min, g, cfg))
-        }), Duration.Inf))
+      // scan balance for the tokenize stage: the docs store is striped
+      // across one file per (write task, shard), and default split
+      // packing (openCost-charged) lands just above core count — one
+      // full wave plus a lone straggler (measured: 9 splits at 8 cores,
+      // ~15% of the stage wall idle). Floor the split count at 4x the
+      // available cores so the heaviest stage of the build packs into
+      // even waves; derived from defaultParallelism, not a host
+      // constant, and restored after the stage so query scans keep
+      // their task counts.
+      val minPartKey = "spark.sql.files.minPartitionNum"
+      val prevMinPart =
+        try spark.conf.getOption(minPartKey) catch { case _: Exception => None }
+      spark.conf.set(minPartKey,
+        (4 * spark.sparkContext.defaultParallelism).toString)
+      try {
+        phase("shard-groups")(Await.result(
+          Future.sequence(groups.map { g =>
+            Future(buildShardGroup(spark, docs, vDir, g.min, g, cfg))
+          }), Duration.Inf))
+      } finally prevMinPart match {
+        case Some(v) => spark.conf.set(minPartKey, v)
+        case None => spark.conf.unset(minPartKey)
+      }
     }
     (todo, skipped)
   }
@@ -844,12 +863,45 @@ object FtsIndexBuilder {
     // each partition, so Parquet row-group min/max stats still prune term
     // lookups.
     val blockSize = cfg.blockSize
+    // per-shard metrics are tallied AS THE BLOCKS ARE ENCODED and shipped
+    // through an accumulator — the former post-write read of the segment
+    // parquet's metadata columns was a whole extra job per group (~1-2 s
+    // per build level). Partials are keyed by reduce partition id and
+    // DEDUPED on the driver (last wins): a retried/speculative task
+    // recomputes an identical partial, so exactly-once never depends on
+    // Spark's accumulator semantics.
+    val metricsAcc = spark.sparkContext.collectionAccumulator[
+      (Int, Map[Int, (Long, Long, Long, Long)])]("segment-metrics")
     postingRuns(d, cfg)
       .repartition(cfg.segmentPartitions, $"shard", $"field", $"term",
         $"bucket")
       .sortWithinPartitions("shard", "field", "term", "bucket", "first_doc")
       .as[RunRow]
-      .mapPartitions { it => encodeRunPartition(it, blockSize) }
+      .mapPartitions { it =>
+        val inner = encodeRunPartition(it, blockSize)
+        val partial = scala.collection.mutable.LongMap.empty[Array[Long]]
+        new Iterator[SegmentBlock] {
+          override def hasNext: Boolean = {
+            val h = inner.hasNext
+            if (!h && partial.nonEmpty) {
+              metricsAcc.add((org.apache.spark.TaskContext.getPartitionId(),
+                partial.map { case (sh, a) =>
+                  sh.toInt -> (a(0), a(1), a(2), a(3)) }.toMap))
+              partial.clear()
+            }
+            h
+          }
+          override def next(): SegmentBlock = {
+            val b = inner.next()
+            val a = partial.getOrElseUpdate(b.shard.toLong, new Array[Long](4))
+            a(0) += 1L // blocks
+            a(1) += b.n // postings
+            if (b.field == FieldContent) a(2) += b.sum_tf // tokens
+            a(3) += b.n_bytes // bytes
+            b
+          }
+        }
+      }
       .write.mode("overwrite")
       // posting blobs are unique — a dictionary-encode attempt hashes
       // every blob before falling back (hot in the JFR profile); keep
@@ -861,33 +913,29 @@ object FtsIndexBuilder {
       .parquet(s"$vDir/segments/g$gid")
     if (timing) println(f"[timing] g$gid%d segments ${(System.currentTimeMillis() - t0) / 1e3}%.2fs")
 
-    // lineage/metrics derive from the durably written segments (columnar
-    // read of SMALL metadata columns only — n_bytes is precomputed at
-    // encode time so the blob columns are never re-read; the docs-side
-    // stats were computed once in stageDocs). The posting pipeline runs
-    // exactly once, nothing persisted; the global dictionary is likewise
-    // aggregated from segments at finalize.
-    val seg = spark.read.parquet(s"$vDir/segments/g$gid")
+    // per-shard metrics: dedupe partials by partition id (a successful
+    // retry reports the same deterministic numbers), then sum per shard
+    import scala.jdk.CollectionConverters._
+    val byPartition = metricsAcc.value.asScala.toMap // last write per id wins
+    val m = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    byPartition.values.foreach(_.foreach { case (sh, (bl, po, tk, by)) =>
+      val a = m.getOrElseUpdate(sh, new Array[Long](4))
+      a(0) += bl; a(1) += po; a(2) += tk; a(3) += by
+    })
 
     // per-shard lineage + metrics rows, committed together (group-atomic:
     // either every shard of the group is manifested or none is)
     val wall = System.currentTimeMillis() - t0
-    val m = seg.groupBy("shard").agg(
-      count(lit(1)).as("n_blocks"),
-      sum("n").as("n_postings"),
-      sum(when($"field" === FieldContent, $"sum_tf")
-        .otherwise(lit(0L))).as("n_tokens"),
-      sum($"n_bytes").as("bytes_postings"))
     val dd = spark.read.parquet(s"$vDir/docstats")
       .where($"shard".isin(shards: _*))
-    val rows = dd.join(m, Seq("shard"), "left").collect().map { r =>
-      ManifestRow(r.getAs[Int]("shard"), "done",
+    val rows = dd.collect().map { r =>
+      val sh = r.getAs[Int]("shard")
+      val a = m.getOrElse(sh, new Array[Long](4))
+      ManifestRow(sh, "done",
         r.getAs[Long]("n_docs"),
-        Option(r.getAs[java.lang.Long]("n_tokens")).map(_.toLong).getOrElse(0L),
-        Option(r.getAs[java.lang.Long]("n_postings")).map(_.toLong).getOrElse(0L),
-        Option(r.getAs[java.lang.Long]("n_blocks")).map(_.toLong).getOrElse(0L),
+        a(2), a(1), a(0),
         r.getAs[Long]("bytes_docs"),
-        Option(r.getAs[java.lang.Long]("bytes_postings")).map(_.toLong).getOrElse(0L),
+        a(3),
         wall, r.getAs[Long]("input_sha").toString)
     }
     spark.createDataset(rows.toSeq)
