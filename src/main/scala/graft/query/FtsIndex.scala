@@ -368,7 +368,17 @@ class FtsIndex(spark: SparkSession, root: String) {
     * job for all of them, then exact driver-side re-check to attribute the
     * matched terms to each alternative. Returned term lists are sorted for
     * determinism. */
-  private[query] def expandAlts(dyn: Seq[FieldQ]): Map[FieldQ, Seq[TermQ]] = {
+  private[query] def expandAlts(dyn: Seq[FieldQ]): Map[FieldQ, Seq[TermQ]] =
+    expandAltsDf(dyn)._1
+
+  /** As [[expandAlts]], also returning each matched term's df — the
+    * expansion job scans exactly the dictionary rows whose dfs every
+    * downstream scorer needs next, so collecting df alongside saves the
+    * follow-up dictionary job on every fuzzy/regex query (the dfs are
+    * fed into the snapshot df cache here, and the caller can seed its
+    * own). */
+  private[query] def expandAltsDf(dyn: Seq[FieldQ])
+      : (Map[FieldQ, Seq[TermQ]], Map[(String, String), Long]) = {
     val damerauLe = udf((t: String, w: String, d: Int) =>
       Distance.damerauBounded(t, w, d) <= d)
     val preds = dyn.map {
@@ -389,9 +399,13 @@ class FtsIndex(spark: SparkSession, root: String) {
       case _ => lit(false)
     }
     val rows = dict.where(FtsIndex.orAll(preds))
-      .select("field", "term").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    dyn.map { a =>
+      .select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dfs = rows.map(r => (r._1, r._2) -> r._3).toMap
+    dfCache.synchronized {
+      dfs.foreach { case (ft, df) => dfCache.put(ft, df) }
+    }
+    val expanded = dyn.map { a =>
       a -> (a match {
         case FuzzyQ(f, w, d) =>
           rows.iterator.filter(r => r._1 == f &&
@@ -404,6 +418,7 @@ class FtsIndex(spark: SparkSession, root: String) {
         case _ => Nil
       })
     }.toMap
+    (expanded, dfs)
   }
 
   /** Predicate over (field, term) used to prune both the segment scan and

@@ -382,21 +382,6 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     (metaHits ++ gotMeta, contentHits ++ gotContent)
   }
 
-  private def contentFor(ids: Seq[Long]): Map[Long, String] = {
-    val hits = contentRows.synchronized {
-      ids.flatMap(id => Option(contentRows.get(id)).map(id -> _)).toMap
-    }
-    val missing = ids.filterNot(hits.contains)
-    if (missing.isEmpty) return hits
-    val got = idx.effectiveDocs.where(col("doc_id").isin(missing: _*))
-      .select("doc_id", "content").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    contentRows.synchronized {
-      got.foreach { case (id, c) => contentRows.put(id, c) }
-    }
-    hits ++ got
-  }
-
   /** Expand fuzzy/regex alternatives, LRU-cached; cluster dict job on miss
     * (via [[FtsIndex.expandAlts]] — the same expansion the cluster path
     * runs, so results are identical by construction). The per-call map is
@@ -415,7 +400,18 @@ class FtsQueryCache(private[query] val idx: FtsIndex, maxTerms: Int = 4096,
     }
     val missing = dyn.filterNot(hits.contains)
     val fresh: Map[FieldQ, Seq[TermQ]] =
-      if (missing.isEmpty) Map.empty else idx.expandAlts(missing)
+      if (missing.isEmpty) Map.empty
+      else {
+        // the expansion job scans exactly the dict rows whose dfs the
+        // block-fetch gate needs next — seed the df LRU from the same
+        // job instead of running a second dictionary job per cold
+        // fuzzy/regex query
+        val (exp, dfs) = idx.expandAltsDf(missing)
+        termDfs.synchronized {
+          dfs.foreach { case (ft, df) => termDfs.put(ft, df) }
+        }
+        exp
+      }
     if (fresh.nonEmpty) expansions.synchronized {
       fresh.foreach { case (a, ts) => expansions.put(a, ts) }
     }
