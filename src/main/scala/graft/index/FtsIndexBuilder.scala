@@ -716,7 +716,7 @@ object FtsIndexBuilder {
     * byte-identical to the single-file layout's (FtsBuildSpec pins
     * this). Memory is O(bucket) per group — a bucket holds at most
     * bucketBlocks x blockSize postings of ONE term, regardless of df. */
-  private[index] def encodeRunPartition(it: Iterator[RunRow],
+  private[graft] def encodeRunPartition(it: Iterator[RunRow],
                                         blockSize: Int): Iterator[SegmentBlock] = {
     type Posting = (Int, String, String, Long, Long, Long, Array[Byte])
     val rows = it.buffered
@@ -1028,6 +1028,7 @@ object FtsIndexBuilder {
   private[graft] def readPointer(spark: SparkSession, root: String): String = {
     val hfs = fs(spark, root)
     var attempt = 0
+    var blindMisses = 0
     var last: java.io.IOException = null
     while (attempt < 40) {
       try {
@@ -1045,9 +1046,22 @@ object FtsIndexBuilder {
                 n == "current" || n.startsWith("current.tmp.")
               }
              catch { case _: java.io.FileNotFoundException => false })
-          if (!midPublish) throw e
-          last = e.asInstanceOf[java.io.IOException]
-          attempt += 1; Thread.sleep(5)
+          if (!midPublish) {
+            // a local-fs readdir can transiently miss BOTH `current` and
+            // the staged tmp while the rename is in flight (observed
+            // once by the ANN reload-race spec on a stolen host): absorb
+            // a few quick retries before concluding the root truly has
+            // no pointer — 3 x 2 ms stays far inside the missing-root
+            // fast-fail budget the round-5 spec pins (<150 ms)
+            blindMisses += 1
+            if (blindMisses > 3) throw e
+            last = e.asInstanceOf[java.io.IOException]
+            attempt += 1; Thread.sleep(2)
+          } else {
+            blindMisses = 0
+            last = e.asInstanceOf[java.io.IOException]
+            attempt += 1; Thread.sleep(5)
+          }
       }
     }
     throw last

@@ -146,4 +146,81 @@ class FtsRound6Spec extends AnyFunSuite {
       FtsQuery("authenticate zzzzmissingterm", limit = 10)).isEmpty)
     idx.cool()
   }
+
+  test("segment blocks are byte-identical when a shard's doc space is " +
+       "STRIPED across docs files (the k-way run merge) vs one ascending " +
+       "file") {
+    val sp = spark
+    import sp.implicits._
+    // one shard, two source layouts of the same four docs:
+    //  - striped: partition A holds docs {0, 2}, partition B holds {1, 3}
+    //    (each partition ascending, ranges interleaved — the layout the
+    //    broadcast-join docs store produces)
+    //  - single: one partition holding 0..3 ascending
+    def docRow(id: Long) =
+      (0, id, s"alpha beta gamma doc$id alpha", Seq.empty[String])
+    val a = Seq(docRow(0), docRow(2)).toDF(
+      "shard", "doc_id", "content", "ids").coalesce(1)
+    val b = Seq(docRow(1), docRow(3)).toDF(
+      "shard", "doc_id", "content", "ids").coalesce(1)
+    val striped = a.union(b) // union preserves the two partitions
+    val single = Seq(docRow(0), docRow(1), docRow(2), docRow(3))
+      .toDF("shard", "doc_id", "content", "ids").coalesce(1)
+    def blocksOf(docs: org.apache.spark.sql.DataFrame) = {
+      val root = TestSpark.tempDir("r6merge")
+      // drive through the real segment pipeline: runs -> shuffle ->
+      // sorted merge-encode (postingRuns is the only tokenize path)
+      val runs = FtsIndexBuilder.postingRuns(
+        docs, FtsIndexBuilder.Config(nShards = 1, segmentPartitions = 1,
+          indexRawField = false))
+      import org.apache.spark.sql.functions.col
+      runs.repartition(1, col("shard"), col("field"), col("term"),
+          col("bucket"))
+        .sortWithinPartitions("shard", "field", "term", "bucket",
+          "first_doc")
+        .as[(Int, String, String, Long, Long, Int, Array[Byte],
+          Array[Byte], Array[Byte], Array[Byte])]
+        .mapPartitions(it => FtsIndexBuilder.encodeRunPartition(it, 128))
+        .collect()
+        .sortBy(bl => (bl.field, bl.term, bl.first_doc))
+        .map(bl => (bl.field, bl.term, bl.first_doc, bl.last_doc, bl.n,
+          bl.sum_tf, bl.max_tf, bl.min_dl,
+          bl.doc_bytes.toSeq, bl.tf_bytes.toSeq, bl.dl_bytes.toSeq,
+          bl.pos_bytes.toSeq))
+    }
+    // the striped layout genuinely produces multiple runs per term
+    val stripedRuns = FtsIndexBuilder.postingRuns(striped,
+        FtsIndexBuilder.Config(nShards = 1, indexRawField = false))
+      .groupBy("field", "term", "bucket").count()
+      .where(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(stripedRuns > 0, "test setup: no interleaved runs produced")
+    assert(blocksOf(striped) === blocksOf(single))
+  }
+
+  test("manifest metrics tallied during encode equal a recomputation " +
+       "from the written segments") {
+    val root = freshIndex(Fixtures.corpusA)
+    val vDir = FtsIndexBuilder.currentVersionDir(spark, root)
+    import org.apache.spark.sql.functions._
+    val recomputed = spark.read.parquet(s"$vDir/segments/*")
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_blocks"),
+        sum("n").as("n_postings"),
+        sum(when(col("field") === "content", col("sum_tf"))
+          .otherwise(lit(0L))).as("n_tokens"),
+        sum(col("n_bytes")).as("bytes_postings"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val manifested = spark.read.parquet(s"$vDir/manifest/*")
+      .select("shard", "n_blocks", "n_postings", "n_tokens",
+        "bytes_postings")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(manifested.keySet === recomputed.keySet)
+    manifested.foreach { case (sh, (bl, po, tk, by)) =>
+      val (rb, rp, rt, rby) = recomputed(sh)
+      assert(bl === rb && po === rp && tk === rt && by === rby,
+        s"shard $sh manifest metrics drifted from the written segments")
+    }
+  }
 }
